@@ -1,0 +1,156 @@
+"""Shared building blocks for the detector zoo (Flax linen, NHWC, bf16-first).
+
+The reference consumes these architectures from Ultralytics binaries
+(SURVEY.md §2b); here they are first-party. Conventions chosen for the MXU:
+
+* NHWC layout — XLA's native conv layout on TPU
+* compute dtype configurable (bf16 default at call sites), params fp32
+* BatchNorm with ``axis_name``-aware cross-replica sync for data-parallel
+  training; folds into the conv at inference
+* SiLU activations; channel counts kept multiples of 8 (sublane) where the
+  width multiplier allows
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def autopad(k: int, d: int = 1) -> int:
+    """'same' padding for odd kernel sizes with dilation."""
+    k_eff = d * (k - 1) + 1
+    return k_eff // 2
+
+
+class ConvBNAct(nn.Module):
+    """Conv → BatchNorm → SiLU, the universal detector block."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.kernel_size)
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+            name="bn",
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class Bottleneck(nn.Module):
+    """Two 3×3 convs with optional residual."""
+
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.expansion)
+        y = ConvBNAct(hidden, 3, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        y = ConvBNAct(self.features, 3, dtype=self.dtype, axis_name=self.axis_name)(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class CSPStage(nn.Module):
+    """Cross-stage-partial block (C2f-style): split → n bottlenecks with
+    dense reuse of intermediates → fuse. Keeps tensors wide for the MXU while
+    halving per-bottleneck channel cost."""
+
+    features: int
+    num_blocks: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.features // 2
+        y = ConvBNAct(2 * hidden, 1, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        outs = [a, b]
+        for _ in range(self.num_blocks):
+            b = Bottleneck(
+                hidden, shortcut=self.shortcut, expansion=1.0,
+                dtype=self.dtype, axis_name=self.axis_name,
+            )(b, train)
+            outs.append(b)
+        y = jnp.concatenate(outs, axis=-1)
+        return ConvBNAct(self.features, 1, dtype=self.dtype, axis_name=self.axis_name)(y, train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained 5×5 max-pools, concatenated."""
+
+    features: int
+    pool_size: int = 5
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.features // 2
+        x = ConvBNAct(hidden, 1, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        p = self.pool_size
+        pad = p // 2
+        pools = [x]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1], (p, p), strides=(1, 1), padding=((pad, pad), (pad, pad))
+                )
+            )
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBNAct(self.features, 1, dtype=self.dtype, axis_name=self.axis_name)(y, train)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2× upsample (pure reshape/broadcast — free for XLA)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class MLP(nn.Module):
+    """Simple feed-forward block (used by transformer pieces and MoE experts)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 2
+    activation: Callable = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = self.activation(nn.Dense(self.hidden_dim, dtype=self.dtype)(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)

@@ -21,6 +21,13 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# The environment's site startup forces jax_platforms to "axon,cpu" (the
+# remote-TPU tunnel), overriding JAX_PLATFORMS. Without this override every
+# un-jitted op round-trips the tunnel (~5ms each) and the suite crawls.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import json  # noqa: E402
 
 import numpy as np  # noqa: E402
