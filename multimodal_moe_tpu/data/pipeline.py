@@ -1,0 +1,250 @@
+"""High-throughput input pipeline: parquet index → device-resident batches.
+
+Replaces the reference's per-worker PIL Dataset + torch DataLoader
+(ref: src/data/zodmoe_frames.py:55-169, workers=8 at src/models/vision/yolo.py:31)
+with a TPU-shaped design:
+
+* **fixed shapes end-to-end** — images ``(B, H, W, 3)`` uint8, ground truth
+  padded to ``(B, max_boxes, ...)`` with a validity mask, so the jitted train
+  step never recompiles;
+* **threaded host decode** — JPEG decode is the CPU hot spot
+  (SURVEY.md §3.5); a thread pool decodes the next batch while the device
+  crunches the current one;
+* **double-buffered device prefetch** — ``prefetch_to_device`` keeps
+  ``buffer_size`` batches in flight so HBM never waits on the host;
+* normalization happens **on device** (fused into the model's first conv by
+  XLA) — the host moves uint8, 4× less PCIe/ICI traffic than fp32.
+
+The dataset also serves the classification baseline
+(``label_col="ped_present"``, ref: scripts/train_vision_baseline.py:79-110).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .exports import safe_iter_boxes
+from .index import load_split_frames
+
+
+@dataclass(frozen=True)
+class ZODMoEDataConfig:
+    """Dataset configuration (shape mirrors ref: src/data/zodmoe_frames.py:32-52)."""
+
+    frames_parquet: str
+    split_csv: str
+    image_path_col: str = "resized_image_path"
+    label_col: str = "ped_present"
+    boxes_col: str = "xyxy_bboxes"
+    unclear_col: str = "ped_unclear_list"
+    solar_col: str = "solar_context_bin"
+    img_h: int = 704
+    img_w: int = 1248
+    max_boxes: int = 96
+    unclear_policy: str = "exclude_unclear"
+    drop_missing: bool = True
+    image_root: Optional[str] = None  # re-root relative image paths
+
+
+def _resolve_path(path_value: str, image_root: Optional[str]) -> Path:
+    """Root-relative path resolution (ref: src/data/zodmoe_frames.py:130-143)."""
+    p = Path(path_value)
+    if image_root is not None and not p.is_absolute():
+        return Path(image_root) / p
+    return p
+
+
+class ZODMoEVisionDataset:
+    """Frame-level dataset over parquet + split CSV.
+
+    ``load(i)`` returns a dict with the decoded image (uint8 HWC at the
+    configured size), padded detection targets, classification label and
+    solar-context bin id — one sample, fixed shapes.
+    """
+
+    def __init__(self, cfg: ZODMoEDataConfig):
+        from .solar import SOLAR_BIN_TO_ID
+
+        self.cfg = cfg
+        df = load_split_frames(cfg.frames_parquet, cfg.split_csv)
+        if cfg.drop_missing:
+            exists = df[cfg.image_path_col].map(
+                lambda v: v is not None and _resolve_path(v, cfg.image_root).exists()
+            )
+            df = df[exists].reset_index(drop=True)
+        if len(df) == 0:
+            raise RuntimeError("Dataset is empty after filtering missing images.")
+        self.df = df
+        self._solar_to_id = SOLAR_BIN_TO_ID
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def _boxes_for_row(self, row) -> np.ndarray:
+        if self.cfg.boxes_col not in self.df.columns:
+            return np.zeros((0, 4), np.float32)
+        boxes = safe_iter_boxes(row[self.cfg.boxes_col])
+        if self.cfg.unclear_policy == "exclude_unclear" and self.cfg.unclear_col in self.df.columns:
+            unclear = row[self.cfg.unclear_col]
+            unclear = np.asarray(unclear) if unclear is not None else np.zeros(0, bool)
+            boxes = [
+                b for i, b in enumerate(boxes)
+                if not (i < len(unclear) and bool(unclear[i]))
+            ]
+        if not boxes:
+            return np.zeros((0, 4), np.float32)
+        return np.stack(boxes).astype(np.float32)
+
+    def load(self, i: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        cfg = self.cfg
+        row = self.df.iloc[i]
+        path = _resolve_path(row[cfg.image_path_col], cfg.image_root)
+        with Image.open(path) as img:
+            img = img.convert("RGB")
+            sx = sy = 1.0
+            if img.size != (cfg.img_w, cfg.img_h):
+                sx = cfg.img_w / img.size[0]
+                sy = cfg.img_h / img.size[1]
+                img = img.resize((cfg.img_w, cfg.img_h), Image.BILINEAR)
+            image = np.asarray(img, dtype=np.uint8)
+
+        boxes = self._boxes_for_row(row)
+        if boxes.shape[0] and (sx != 1.0 or sy != 1.0):
+            boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+        n = min(boxes.shape[0], cfg.max_boxes)
+        padded = np.zeros((cfg.max_boxes, 4), np.float32)
+        padded[:n] = boxes[:n]
+        mask = np.zeros(cfg.max_boxes, bool)
+        mask[:n] = True
+
+        label = int(row[cfg.label_col]) if cfg.label_col in self.df.columns else 0
+        solar_id = self._solar_to_id.get(
+            str(row[cfg.solar_col]) if cfg.solar_col in self.df.columns else "missing",
+            len(self._solar_to_id) - 1,
+        )
+        return {
+            "image": image,                                   # (H, W, 3) uint8
+            "gt_boxes": padded,                               # (max_boxes, 4)
+            "gt_labels": np.zeros(cfg.max_boxes, np.int32),   # single class
+            "gt_mask": mask,                                  # (max_boxes,)
+            "label": np.int32(label),
+            "solar_bin": np.int32(solar_id),
+        }
+
+
+class DetectionLoader:
+    """Threaded batch loader with optional epoch shuffling.
+
+    Yields dicts of stacked numpy arrays with static shapes; the final
+    partial batch is dropped during training (``drop_last=True``) to keep
+    the jitted step's shapes constant, kept and zero-padded for eval.
+    """
+
+    def __init__(
+        self,
+        dataset: ZODMoEVisionDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        self._epoch += 1
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        batches: List[np.ndarray] = [idx[i * bs : (i + 1) * bs] for i in range(n_full)]
+        if not self.drop_last and len(idx) % bs:
+            batches.append(idx[n_full * bs :])
+
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            # Pipeline: submit decode jobs one batch ahead.
+            pending = collections.deque()
+            batch_iter = iter(batches)
+            for _ in range(2):
+                b = next(batch_iter, None)
+                if b is not None:
+                    pending.append((b, [pool.submit(self.dataset.load, int(i)) for i in b]))
+            while pending:
+                b, futures = pending.popleft()
+                samples = [f.result() for f in futures]
+                nxt = next(batch_iter, None)
+                if nxt is not None:
+                    pending.append(
+                        (nxt, [pool.submit(self.dataset.load, int(i)) for i in nxt])
+                    )
+                out = {
+                    k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
+                }
+                if len(samples) < bs:  # zero-pad the final eval batch
+                    pad = bs - len(samples)
+                    out = {
+                        k: np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                        )
+                        for k, v in out.items()
+                    }
+                    out["batch_valid"] = np.concatenate(
+                        [np.ones(len(samples), bool), np.zeros(pad, bool)]
+                    )
+                else:
+                    out["batch_valid"] = np.ones(bs, bool)
+                yield out
+
+
+def prefetch_to_device(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    *,
+    sharding: Any = None,
+    buffer_size: int = 2,
+) -> Iterator[Dict[str, Any]]:
+    """Move batches to device ahead of consumption (double buffering).
+
+    With a ``NamedSharding`` the host array is split across the mesh's data
+    axis on the way in — the TPU-native replacement for DataLoader pinned
+    memory + H2D copy overlap (ref hot loop: scripts/train_vision_baseline.py:145-146).
+    """
+    import jax
+
+    def _put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    queue: "collections.deque" = collections.deque()
+    for batch in iterator:
+        queue.append(_put(batch))
+        if len(queue) >= buffer_size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

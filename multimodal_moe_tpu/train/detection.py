@@ -1,0 +1,230 @@
+"""Detection trainer: jitted SPMD train step, epoch loop, best/last
+checkpoints, artifact emission.
+
+This is the first-party replacement for the training loops the reference
+runs inside Ultralytics / RT-DETRv2 (SURVEY.md §3.2, §3.4). One trainer
+serves every detector family — the model and its loss are injected — so the
+artifact schema and checkpoint semantics stay identical across families,
+exactly like the reference's shared serializers (ref: rtdetr.py:131-138).
+
+SPMD: the step is one ``jax.jit`` over the ``(data, expert)`` mesh — batch
+sharded on the data axis, state replicated (experts sharded where present);
+XLA inserts the gradient ``psum`` over ICI.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.tal import yolo_loss
+from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from .state import CheckpointManager, TrainState, make_optimizer
+
+
+@dataclass
+class DetTrainConfig:
+    """Training configuration; defaults follow the locked protocol
+    (ref: notes/experiment_protocol_camera.md:23-52 — 1248×704, 50 epochs,
+    batch 16, seed 0) and the reference CLI defaults (ref: scripts/train_yolo.py)."""
+
+    variant: str = "s"
+    num_classes: int = 1
+    img_h: int = 704
+    img_w: int = 1248
+    epochs: int = 50
+    patience: int = 100
+    batch: int = 16
+    seed: int = 0
+    lr0: float = 0.01
+    lrf: float = 0.01
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    optimizer: str = "sgd"
+    dtype: str = "bfloat16"
+    use_ema_for_eval: bool = True
+
+
+def _fitness(metrics: dict) -> float:
+    """Model-selection scalar: 0.1·mAP50 + 0.9·mAP50-95 (the standard
+    detector fitness used for best.pt selection)."""
+    return 0.1 * metrics.get("map50", 0.0) + 0.9 * metrics.get("map50_95", 0.0)
+
+
+class DetectionTrainer:
+    def __init__(
+        self,
+        model,
+        cfg: DetTrainConfig,
+        *,
+        loss_fn: Callable = yolo_loss,
+        mesh=None,
+        steps_per_epoch: Optional[int] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.loss_fn = loss_fn
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.steps_per_epoch = steps_per_epoch
+        self._tx = None
+        self._train_step = None
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        dummy = jnp.zeros((1, self.cfg.img_h, self.cfg.img_w, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r: self.model.init(r, dummy, train=True)
+        )(rng)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        total_steps = (self.steps_per_epoch or 100) * self.cfg.epochs
+        warmup = int((self.steps_per_epoch or 100) * self.cfg.warmup_epochs)
+        self._tx = make_optimizer(
+            lr0=self.cfg.lr0,
+            lrf=self.cfg.lrf,
+            momentum=self.cfg.momentum,
+            weight_decay=self.cfg.weight_decay,
+            warmup_steps=warmup,
+            total_steps=total_steps,
+            optimizer=self.cfg.optimizer,
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self._tx.init(params),
+            # A distinct buffer: ema aliasing params would make the donated
+            # train-step input donate the same buffer twice.
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+        # Replicate over the mesh (expert sharding handled by shard_params
+        # for MoE models at the call site).
+        return jax.device_put(state, replicated(self.mesh))
+
+    # -- step ----------------------------------------------------------------
+    def _build_train_step(self):
+        model, loss_fn, tx = self.model, self.loss_fn, self._tx
+
+        def step_fn(state: TrainState, batch) -> "tuple[TrainState, Dict]":
+            images = batch["image"].astype(jnp.float32) / 255.0
+
+            def compute_loss(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                outputs, mutated = model.apply(
+                    variables,
+                    images,
+                    train=True,
+                    mutable=["batch_stats"] if state.batch_stats else [],
+                )
+                total, metrics = loss_fn(
+                    outputs, batch["gt_labels"], batch["gt_boxes"], batch["gt_mask"]
+                )
+                new_stats = mutated.get("batch_stats", state.batch_stats)
+                return total, (metrics, new_stats)
+
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads, tx, new_stats)
+            return new_state, metrics
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+            out_shardings=(replicated(self.mesh), None),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, state, batch):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step(state, batch)
+
+    # -- loop ----------------------------------------------------------------
+    def fit(
+        self,
+        train_loader,
+        *,
+        run_dir: "str | Path",
+        val_fn: Optional[Callable[[TrainState], dict]] = None,
+        log_every: int = 50,
+        state: Optional[TrainState] = None,
+        resume: bool = False,
+    ) -> "tuple[TrainState, dict]":
+        cfg = self.cfg
+        run_dir = Path(run_dir)
+        self.steps_per_epoch = self.steps_per_epoch or len(train_loader)
+        ckpt = CheckpointManager(run_dir / "weights")
+
+        if state is None:
+            state = self.init_state()
+        if resume and ckpt.has("last"):
+            state = ckpt.restore("last", state)
+
+        t_start = time.perf_counter()
+        best_fitness = -float("inf")
+        epochs_without_improvement = 0
+        history = []
+
+        for epoch in range(cfg.epochs):
+            epoch_metrics: "Dict[str, list]" = {}
+            from ..data.pipeline import prefetch_to_device
+
+            for batch in prefetch_to_device(
+                iter(train_loader), sharding=batch_sharding(self.mesh)
+            ):
+                batch = {
+                    k: v
+                    for k, v in batch.items()
+                    if k in ("image", "gt_boxes", "gt_labels", "gt_mask")
+                }
+                state, metrics = self.train_step(state, batch)
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(float(v))
+
+            row = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            row["epoch"] = epoch
+
+            if val_fn is not None:
+                val_metrics = val_fn(state)
+                row.update({f"val_{k}": v for k, v in val_metrics.items()
+                            if isinstance(v, (int, float))})
+                fit = _fitness(val_metrics)
+            else:
+                fit = -float(row.get("loss", np.inf))
+
+            history.append(row)
+            ckpt.save_last(state)
+            if fit > best_fitness:
+                best_fitness = fit
+                ckpt.save_best(state)
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+            print(
+                f"epoch {epoch + 1}/{cfg.epochs} "
+                + " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "epoch")
+            )
+            if epochs_without_improvement > cfg.patience:
+                print(f"Early stopping at epoch {epoch + 1} (patience {cfg.patience}).")
+                break
+
+        wall = time.perf_counter() - t_start
+        summary = {
+            "train_wall_time_s": wall,
+            "best_fitness": best_fitness,
+            "epochs_run": len(history),
+            "history": history,
+        }
+        return state, summary

@@ -1,0 +1,169 @@
+"""End-to-end detection training + eval on the synthetic dataset (8-device
+CPU mesh, tiny canvas). Covers: SPMD train step, checkpoints, resume,
+evaluator metrics schema."""
+
+import numpy as np
+import pytest
+
+from multimodal_moe_tpu.data.pipeline import (
+    DetectionLoader,
+    ZODMoEDataConfig,
+    ZODMoEVisionDataset,
+)
+from multimodal_moe_tpu.models.yolo import YoloDetector
+from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
+from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_fn
+
+
+@pytest.fixture(scope="module")
+def loaders(boxed_parquet, split_csvs):
+    train_ds = ZODMoEVisionDataset(
+        ZODMoEDataConfig(
+            frames_parquet=str(boxed_parquet),
+            split_csv=str(split_csvs["train"]),
+            img_h=64,
+            img_w=128,
+            max_boxes=32,
+        )
+    )
+    val_ds = ZODMoEVisionDataset(
+        ZODMoEDataConfig(
+            frames_parquet=str(boxed_parquet),
+            split_csv=str(split_csvs["val"]),
+            img_h=64,
+            img_w=128,
+            max_boxes=32,
+        )
+    )
+    train = DetectionLoader(train_ds, batch_size=8, shuffle=True, drop_last=True)
+    val = DetectionLoader(val_ds, batch_size=8, drop_last=False)
+    return train, val
+
+
+@pytest.fixture(scope="module")
+def trained(loaders, tmp_path_factory):
+    train_loader, _ = loaders
+    run_dir = tmp_path_factory.mktemp("det_run")
+    model = YoloDetector(num_classes=1, variant="n")
+    cfg = DetTrainConfig(variant="n", img_h=64, img_w=128, epochs=2, batch=8, patience=10)
+    trainer = DetectionTrainer(model, cfg, steps_per_epoch=len(train_loader))
+    state, summary = trainer.fit(train_loader, run_dir=run_dir)
+    return model, trainer, state, summary, run_dir
+
+
+class TestTraining:
+    def test_runs_and_reports(self, trained):
+        _, _, state, summary, _ = trained
+        assert summary["epochs_run"] == 2
+        assert np.isfinite(summary["history"][0]["loss"])
+        assert int(state.step) == 2  # 1 step/epoch at batch 8 over 8 frames
+
+    def test_checkpoints_written(self, trained):
+        *_, run_dir = trained
+        assert (run_dir / "weights" / "last").exists()
+        assert (run_dir / "weights" / "best").exists()
+
+    def test_resume_restores_state(self, trained):
+        model, trainer, state, _, run_dir = trained
+        from multimodal_moe_tpu.train.state import CheckpointManager
+
+        ckpt = CheckpointManager(run_dir / "weights")
+        fresh = trainer.init_state()
+        restored = ckpt.restore("last", fresh)
+        assert int(restored.step) == int(state.step)
+        import jax
+
+        a = jax.tree.leaves(restored.params)
+        b = jax.tree.leaves(state.params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    def test_params_changed_from_init(self, trained):
+        model, trainer, state, _, _ = trained
+        import jax
+
+        init = trainer.init_state()
+        diffs = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree.leaves(init.params), jax.tree.leaves(state.params))
+        ]
+        assert max(diffs) > 0
+
+
+class TestEvaluator:
+    def test_metrics_schema(self, trained, loaders):
+        model, trainer, state, _, _ = trained
+        _, val_loader = loaders
+        variables = {"params": state.ema_params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        infer = make_inference_fn(model, variables)
+        metrics = evaluate_detector(
+            iter(val_loader), infer, max_det=50, compute_curves=True
+        )
+        for key in (
+            "map50",
+            "map50_95",
+            "precision",
+            "recall",
+            "speed_preprocess_ms_per_img",
+            "speed_inference_ms_per_img",
+            "speed_postprocess_ms_per_img",
+        ):
+            assert key in metrics, key
+        assert metrics["n_images"] == 2
+        assert 0.0 <= metrics["map50"] <= 1.0 or metrics["map50"] == -1.0
+
+    def test_artifact_writers_roundtrip(self, trained, tmp_path):
+        import csv
+        import json
+
+        from multimodal_moe_tpu.train.artifacts import (
+            add_derived_speed_metrics,
+            collect_runtime_info,
+            save_metrics_json,
+            save_metrics_table_csv,
+            save_run_metadata_artifacts,
+            save_training_summary,
+        )
+
+        metrics = {
+            "map50": 0.5,
+            "map50_95": 0.3,
+            "precision": 0.6,
+            "recall": 0.4,
+            "speed_preprocess_ms_per_img": 1.0,
+            "speed_inference_ms_per_img": 4.0,
+            "speed_postprocess_ms_per_img": 1.0,
+            "curves_results": [{"x": [0, 1], "y": [1, 0], "name": "PR"}],
+        }
+        metrics = add_derived_speed_metrics(metrics)
+        assert metrics["fps_inference_only"] == pytest.approx(250.0)
+        assert metrics["fps_end_to_end"] == pytest.approx(1000.0 / 6.0)
+        assert metrics["speed_total_ms_per_img"] == pytest.approx(6.0)
+
+        mj = save_metrics_json(metrics, tmp_path / "metrics.json")
+        assert json.loads(mj.read_text())["map50"] == 0.5
+        mc = save_metrics_table_csv(metrics, tmp_path / "metrics_table.csv")
+        rows = list(csv.reader(mc.open()))
+        assert rows[0] == ["metric", "value"]
+        keys = [r[0] for r in rows[1:]]
+        assert keys == sorted(keys)
+        assert "curves_results" not in keys  # nested payloads stay in JSON
+
+        meta = {"model_family": "yolo", "seed": 0}
+        meta.update(collect_runtime_info())
+        j, c = save_run_metadata_artifacts(
+            meta, tmp_path / "run_metadata.json", tmp_path / "run_metadata.csv"
+        )
+        assert json.loads(j.read_text())["model_family"] == "yolo"
+
+        sj, sc = save_training_summary(
+            train_wall_time_s=12.3,
+            model_name="yolo-n",
+            data_yaml="x.yaml",
+            run_name="r",
+            out_json_path=tmp_path / "train_summary.json",
+            out_csv_path=tmp_path / "train_summary.csv",
+            params_total=1000,
+        )
+        assert json.loads(sj.read_text())["train_wall_time_s"] == 12.3
