@@ -1,0 +1,127 @@
+"""ResNet family in Flax (NHWC): the classification baseline's ResNet-50
+(ref: scripts/train_vision_baseline.py:115-122 uses torchvision resnet50
+from scratch) and the ResNet-vd variant RT-DETR uses as its backbone
+(ref: third-party RT-DETRv2 r50vd configs, rtdetr_thirdparty.py:30-35).
+
+The -vd deep-stem tweaks (3×3×3 stem, stride-2 moved to the 3×3 conv,
+avg-pool downsample shortcut) matter for detection accuracy parity; the
+vanilla variant keeps the classification baseline comparable to torchvision.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+        )(x)
+        return nn.relu(x) if self.act else x
+
+
+class BottleneckBlock(nn.Module):
+    features: int  # bottleneck width; output is 4×
+    strides: int = 1
+    vd: bool = False
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        out_ch = self.features * 4
+        residual = x
+
+        y = _ConvBN(self.features, 1, 1, **kw)(x, train)
+        y = _ConvBN(self.features, 3, self.strides, **kw)(y, train)
+        y = _ConvBN(out_ch, 1, 1, act=False, **kw)(y, train)
+
+        if residual.shape[-1] != out_ch or self.strides != 1:
+            if self.vd and self.strides != 1:
+                # -vd: avg-pool then 1×1 (keeps information the strided 1×1 drops)
+                residual = nn.avg_pool(
+                    residual, (2, 2), strides=(2, 2), padding="SAME"
+                )
+                residual = _ConvBN(out_ch, 1, 1, act=False, **kw)(residual, train)
+            else:
+                residual = _ConvBN(out_ch, 1, self.strides, act=False, **kw)(
+                    residual, train
+                )
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-{18..152} trunk. ``num_classes=None`` → return the four stage
+    feature maps (detection backbone mode, strides 4/8/16/32)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)  # resnet50
+    width: int = 64
+    num_classes: "int | None" = 1000
+    vd: bool = False
+    dtype: Dtype = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        if self.vd:
+            # deep stem: three 3×3 convs
+            x = _ConvBN(self.width // 2, 3, 2, **kw)(x, train)
+            x = _ConvBN(self.width // 2, 3, 1, **kw)(x, train)
+            x = _ConvBN(self.width, 3, 1, **kw)(x, train)
+        else:
+            x = _ConvBN(self.width, 7, 2, **kw)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        for i, n_blocks in enumerate(self.stage_sizes):
+            width = self.width * (2**i)
+            for j in range(n_blocks):
+                strides = 2 if (j == 0 and i > 0) else 1
+                x = BottleneckBlock(
+                    width, strides=strides, vd=self.vd, **kw
+                )(x, train)
+            feats.append(x)
+
+        if self.num_classes is None:
+            return feats
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x)
+
+
+def resnet50(num_classes: "int | None" = 1000, vd: bool = False, **kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes, vd=vd, **kw)
+
+
+def resnet18(num_classes: "int | None" = 1000, **kw) -> ResNet:
+    # 18 uses basic blocks in the original; bottleneck at these sizes is a
+    # close, cheaper stand-in used only for smoke-scale tests.
+    return ResNet(stage_sizes=(2, 2, 2, 2), num_classes=num_classes, **kw)

@@ -114,8 +114,13 @@ class DetectionTrainer:
     def _build_train_step(self):
         model, loss_fn, tx = self.model, self.loss_fn, self._tx
 
+        context_aware = getattr(model, "context_aware", False)
+
         def step_fn(state: TrainState, batch) -> "tuple[TrainState, Dict]":
             images = batch["image"].astype(jnp.float32) / 255.0
+            extra = {}
+            if context_aware and "solar_bin" in batch:
+                extra["context_ids"] = batch["solar_bin"]
 
             def compute_loss(params):
                 variables = {"params": params}
@@ -126,6 +131,7 @@ class DetectionTrainer:
                     images,
                     train=True,
                     mutable=["batch_stats"] if state.batch_stats else [],
+                    **extra,
                 )
                 total, metrics = loss_fn(
                     outputs, batch["gt_labels"], batch["gt_boxes"], batch["gt_mask"]
@@ -187,7 +193,7 @@ class DetectionTrainer:
                 batch = {
                     k: v
                     for k, v in batch.items()
-                    if k in ("image", "gt_boxes", "gt_labels", "gt_mask")
+                    if k in ("image", "gt_boxes", "gt_labels", "gt_mask", "solar_bin")
                 }
                 state, metrics = self.train_step(state, batch)
                 for k, v in metrics.items():

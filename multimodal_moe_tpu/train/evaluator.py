@@ -25,12 +25,18 @@ from ..ops.nms import batched_nms
 
 
 def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
-    """Jitted forward: uint8 images → (boxes, scores) per anchor/query."""
+    """Jitted forward: uint8 images → (boxes, scores) per anchor/query.
+
+    Context-aware models (MoE) receive the per-image solar bin ids."""
+    context_aware = getattr(model, "context_aware", False)
 
     @jax.jit
-    def infer(images_u8):
+    def infer(images_u8, context_ids=None):
         images = images_u8.astype(jnp.float32) / 255.0
-        out = model.apply(variables, images, train=False)
+        kwargs = {}
+        if context_aware and context_ids is not None:
+            kwargs["context_ids"] = context_ids
+        out = model.apply(variables, images, train=False, **kwargs)
         scores = out["cls_logits"][..., 0]
         if use_sigmoid:
             scores = jax.nn.sigmoid(scores)
@@ -67,7 +73,10 @@ def evaluate_detector(
         t_pre += now - t_mark
         t_mark = now
 
-        boxes, scores = infer_fn(images)
+        ctx = batch.get("solar_bin")
+        boxes, scores = (
+            infer_fn(images, jax.device_put(ctx)) if ctx is not None else infer_fn(images)
+        )
         jax.block_until_ready(scores)
         now = time.perf_counter()
         t_inf += now - t_mark

@@ -1,0 +1,10 @@
+"""Shared CLI plumbing: repo-root sys.path setup (run scripts either as
+``python -m scripts.x`` or ``python scripts/x.py``, matching the reference's
+convention, ref: scripts/add_solar_context_bins.py:38-42)."""
+
+import sys
+from pathlib import Path
+
+PROJECT_ROOT = Path(__file__).resolve().parents[1]
+if str(PROJECT_ROOT) not in sys.path:
+    sys.path.insert(0, str(PROJECT_ROOT))

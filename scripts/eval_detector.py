@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Evaluate a trained detector run and persist the uniform artifact schema.
+
+CLI counterpart of ref: scripts/eval_detector.py:44-263: same flags
+(--backend/--weights/--split/--img-h/--img-w/--batch/--run-name/--seed/
+--unclear-policy), same outputs (metrics.json with derived fps keys,
+metrics_table.csv, run_metadata.json/csv) under ``EVAL_DIR/<backend>/<run>/``.
+
+``--weights`` points at a run directory produced by train_yolo/train_rtdetr
+(containing ``weights/{best,last}`` + ``model_config.json``) or directly at
+a checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from _common import PROJECT_ROOT  # noqa: F401
+
+from multimodal_moe_tpu import paths
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Evaluate detector run.")
+    p.add_argument("--backend", choices=["yolo", "rtdetr", "moe"], default="yolo")
+    p.add_argument(
+        "--parquet",
+        type=str,
+        default=str(paths.ZODMOE_FRAMES_WITH_BOXES_AND_SOLAR_BINS_PARQUET),
+    )
+    p.add_argument("--splits-dir", type=str, default=str(paths.SPLITS_DIR))
+    p.add_argument("--weights", type=str, required=True,
+                   help="Run dir (with weights/best) or checkpoint dir.")
+    p.add_argument("--checkpoint", choices=["best", "last"], default="best")
+    p.add_argument("--split", choices=["train", "val", "test"], default="val")
+    p.add_argument("--img-h", type=int, default=704)
+    p.add_argument("--img-w", type=int, default=1248)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--run-name", type=str, default="yolo_eval")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
+    p.add_argument("--nms-iou", type=float, default=0.7)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True)
+    return p.parse_args()
+
+
+def _resolve_ckpt(weights: Path, which: str) -> "tuple[Path, dict]":
+    """Accept a run dir, a weights dir, or a checkpoint dir."""
+    cfg = {}
+    for probe in (weights, weights.parent, weights.parent.parent):
+        mc = probe / "model_config.json"
+        if mc.exists():
+            cfg = json.loads(mc.read_text())
+            break
+    if (weights / "weights" / which).exists():
+        return weights / "weights" / which, cfg
+    if (weights / which).exists():
+        return weights / which, cfg
+    return weights, cfg
+
+
+def main() -> None:
+    args = parse_args()
+    from multimodal_moe_tpu.data.pipeline import (
+        DetectionLoader,
+        ZODMoEDataConfig,
+        ZODMoEVisionDataset,
+    )
+    from multimodal_moe_tpu.models.yolo import YoloDetector, count_params
+    from multimodal_moe_tpu.train.artifacts import (
+        add_derived_speed_metrics,
+        collect_runtime_info,
+        infer_model_variant_from_weights,
+        save_metrics_json,
+        save_metrics_table_csv,
+        save_run_metadata_artifacts,
+    )
+    from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
+    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_fn
+    from multimodal_moe_tpu.train.state import CheckpointManager
+
+    ckpt_path, model_cfg = _resolve_ckpt(Path(args.weights).resolve(), args.checkpoint)
+    variant = model_cfg.get("variant", "s")
+    family = model_cfg.get("family", args.backend)
+
+    if family in ("yolo", "moe"):
+        model = YoloDetector(num_classes=model_cfg.get("num_classes", 1), variant=variant)
+    else:
+        from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+        model = RTDETRDetector(num_classes=model_cfg.get("num_classes", 1))
+
+    cfg = DetTrainConfig(variant=variant, img_h=args.img_h, img_w=args.img_w)
+    trainer = DetectionTrainer(model, cfg, steps_per_epoch=1)
+    state = trainer.init_state()
+    ckpt = CheckpointManager(ckpt_path.parent)
+    state = ckpt.restore(ckpt_path.name, state)
+
+    ds = ZODMoEVisionDataset(
+        ZODMoEDataConfig(
+            frames_parquet=args.parquet,
+            split_csv=str(Path(args.splits_dir) / f"{args.split}_ids.csv"),
+            img_h=args.img_h,
+            img_w=args.img_w,
+            unclear_policy=args.unclear_policy,
+        )
+    )
+    loader = DetectionLoader(ds, batch_size=args.batch, drop_last=False)
+
+    params = state.ema_params if args.use_ema else state.params
+    variables = {"params": params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    infer = make_inference_fn(model, variables)
+
+    metrics = evaluate_detector(
+        iter(loader),
+        infer,
+        iou_threshold=args.nms_iou,
+        max_det=args.max_det,
+    )
+    metrics = add_derived_speed_metrics(metrics)
+    metrics["params_total"] = count_params(params)
+    metrics["flops_g"] = None
+
+    out_dir = Path(paths.EVAL_DIR) / args.backend / args.run_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_json = save_metrics_json(metrics, out_dir / "metrics.json")
+    out_csv = save_metrics_table_csv(metrics, out_dir / "metrics_table.csv")
+
+    metadata = {
+        "model_family": family,
+        "model_variant": variant or infer_model_variant_from_weights(str(ckpt_path)),
+        "model_weights": str(ckpt_path),
+        "run_name": args.run_name,
+        "seed": int(args.seed),
+        "split": args.split,
+        "img_h": int(args.img_h),
+        "img_w": int(args.img_w),
+        "unclear_policy": args.unclear_policy,
+        "dataset_export_name": Path(args.parquet).stem,
+        "nms_iou": args.nms_iou,
+        "max_det": args.max_det,
+    }
+    metadata.update(collect_runtime_info())
+    meta_json, meta_csv = save_run_metadata_artifacts(
+        metadata, out_dir / "run_metadata.json", out_dir / "run_metadata.csv"
+    )
+    print(f"Saved metrics -> {out_json}")
+    print(f"Saved table   -> {out_csv}")
+    print(f"Saved run metadata -> {meta_json}")
+    print(f"Saved metadata table -> {meta_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Train the TPU-native YOLO detector.
+
+CLI counterpart of ref: scripts/train_yolo.py:30-191 — same defaults
+(704×1248, epochs 50, patience 100, batch 16, seed 0) and the same artifact
+outputs (train_summary.json/csv, train_metrics.json, run_metadata.json/csv),
+but the training loop is the first-party SPMD trainer instead of an
+Ultralytics subprocess. Data comes straight from the canonical parquet +
+split CSVs (no intermediate export needed on the training path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from _common import PROJECT_ROOT  # noqa: F401
+
+from multimodal_moe_tpu import paths
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Train YOLO detector (TPU-native).")
+    p.add_argument("--model", type=str, default="yolo-s", help="yolo-{n,s,m,l}")
+    p.add_argument(
+        "--parquet",
+        type=str,
+        default=str(paths.ZODMOE_FRAMES_WITH_BOXES_AND_SOLAR_BINS_PARQUET),
+    )
+    p.add_argument("--splits-dir", type=str, default=str(paths.SPLITS_DIR))
+    p.add_argument("--img-h", type=int, default=704)
+    p.add_argument("--img-w", type=int, default=1248)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--lrf", type=float, default=0.01)
+    p.add_argument("--optimizer", choices=["sgd", "adamw"], default="sgd")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--project", type=str, default=str(paths.RUNS_DIR / "yolo"))
+    p.add_argument("--name", type=str, default="baseline")
+    p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-boxes", type=int, default=96)
+    p.add_argument("--eval-every", type=int, default=1, help="Val every N epochs.")
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    variant = args.model.split("-")[-1]
+
+    from multimodal_moe_tpu.data.pipeline import (
+        DetectionLoader,
+        ZODMoEDataConfig,
+        ZODMoEVisionDataset,
+    )
+    from multimodal_moe_tpu.models.yolo import YoloDetector, count_params
+    from multimodal_moe_tpu.train.artifacts import (
+        collect_runtime_info,
+        save_metrics_json,
+        save_run_metadata_artifacts,
+        save_training_summary,
+    )
+    from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
+    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_fn
+
+    run_dir = Path(args.project) / args.name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    splits_dir = Path(args.splits_dir)
+
+    def make_ds(split: str) -> ZODMoEVisionDataset:
+        return ZODMoEVisionDataset(
+            ZODMoEDataConfig(
+                frames_parquet=args.parquet,
+                split_csv=str(splits_dir / f"{split}_ids.csv"),
+                img_h=args.img_h,
+                img_w=args.img_w,
+                max_boxes=args.max_boxes,
+                unclear_policy=args.unclear_policy,
+            )
+        )
+
+    train_loader = DetectionLoader(
+        make_ds("train"), batch_size=args.batch, shuffle=True,
+        seed=args.seed, num_workers=args.workers,
+    )
+    val_loader = DetectionLoader(
+        make_ds("val"), batch_size=args.batch, drop_last=False,
+        num_workers=args.workers,
+    )
+
+    model = YoloDetector(num_classes=1, variant=variant)
+    cfg = DetTrainConfig(
+        variant=variant,
+        img_h=args.img_h,
+        img_w=args.img_w,
+        epochs=args.epochs,
+        patience=args.patience,
+        batch=args.batch,
+        seed=args.seed,
+        lr0=args.lr0,
+        lrf=args.lrf,
+        optimizer=args.optimizer,
+    )
+    trainer = DetectionTrainer(model, cfg, steps_per_epoch=len(train_loader))
+
+    def val_fn(state):
+        variables = {"params": state.ema_params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        infer = make_inference_fn(model, variables)
+        return evaluate_detector(iter(val_loader), infer, compute_curves=False)
+
+    t0 = time.perf_counter()
+    state, summary = trainer.fit(
+        train_loader,
+        run_dir=run_dir,
+        val_fn=val_fn if args.eval_every > 0 else None,
+        resume=args.resume,
+    )
+    wall = time.perf_counter() - t0
+
+    # model_config.json lets eval_detector rebuild the exact model.
+    (run_dir / "model_config.json").write_text(
+        json.dumps(
+            {
+                "family": "yolo",
+                "variant": variant,
+                "num_classes": 1,
+                "img_h": args.img_h,
+                "img_w": args.img_w,
+            },
+            indent=2,
+        )
+    )
+
+    n_params = count_params(state.params)
+    save_training_summary(
+        train_wall_time_s=wall,
+        model_name=args.model,
+        data_yaml=args.parquet,
+        run_name=args.name,
+        out_json_path=run_dir / "train_summary.json",
+        out_csv_path=run_dir / "train_summary.csv",
+        params_total=n_params,
+        params_trainable=n_params,
+        extra={"epochs_run": summary["epochs_run"], "best_fitness": summary["best_fitness"]},
+    )
+    if summary["history"]:
+        last = summary["history"][-1]
+        save_metrics_json(
+            {k: v for k, v in last.items() if isinstance(v, (int, float))},
+            run_dir / "train_metrics.json",
+        )
+    metadata = {
+        "model_family": "yolo",
+        "model_variant": variant,
+        "run_name": args.name,
+        "seed": args.seed,
+        "img_h": args.img_h,
+        "img_w": args.img_w,
+        "unclear_policy": args.unclear_policy,
+        "parquet": str(args.parquet),
+        "epochs": args.epochs,
+        "batch": args.batch,
+    }
+    metadata.update(collect_runtime_info())
+    save_run_metadata_artifacts(
+        metadata, run_dir / "run_metadata.json", run_dir / "run_metadata.csv"
+    )
+    print(f"Run artifacts -> {run_dir}")
+    print(f"Weights -> {run_dir / 'weights' / 'best'} (and .../last)")
+
+
+if __name__ == "__main__":
+    main()
