@@ -1,0 +1,170 @@
+"""Hungarian (bipartite) matching + DETR-family set losses.
+
+The reference consumes this from RT-DETRv2's torch code; here the cost
+matrix (focal-style class cost + L1 + GIoU, the RT-DETR recipe) is computed
+on device with static shapes, and the O(M³) assignment itself runs on host
+via ``jax.pure_callback`` → ``scipy.optimize.linear_sum_assignment``.
+Rationale: per image M ≤ max_boxes (≤ ~100) — microseconds on host,
+negligible next to the forward pass — while a lax-based Jonker-Volgenant
+would burden the compiled graph for no wall-clock win. Padded GT rows carry
+a large constant cost so they match only leftover queries; their matches are
+masked out of the loss.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import cxcywh_to_xyxy, pairwise_giou
+
+BIG_COST = 1e6
+
+
+def _lsa_host(cost: np.ndarray) -> "Tuple[np.ndarray, np.ndarray]":
+    """Batched linear sum assignment on host. cost: (B, Q, M) → row/col idx."""
+    from scipy.optimize import linear_sum_assignment
+
+    b, q, m = cost.shape
+    rows = np.zeros((b, m), np.int32)
+    for i in range(b):
+        r, c = linear_sum_assignment(cost[i])
+        # With Q >= M every GT column gets exactly one query row.
+        order = np.argsort(c)
+        rows[i] = r[order].astype(np.int32)
+    return rows
+
+
+def hungarian_match(
+    pred_logits: jnp.ndarray,   # (B, Q, nc)
+    pred_boxes: jnp.ndarray,    # (B, Q, 4) cxcywh normalized
+    gt_labels: jnp.ndarray,     # (B, M)
+    gt_boxes: jnp.ndarray,      # (B, M, 4) cxcywh normalized
+    gt_mask: jnp.ndarray,       # (B, M) bool
+    *,
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """→ (B, M) index of the query assigned to each (padded) GT slot."""
+    b, q, nc = pred_logits.shape
+    m = gt_boxes.shape[1]
+
+    prob = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
+    # Focal-style class cost (RT-DETR/DINO convention).
+    neg = (1 - alpha) * (prob**gamma) * (-jnp.log(1 - prob + 1e-8))
+    pos = alpha * ((1 - prob) ** gamma) * (-jnp.log(prob + 1e-8))
+    labels = jnp.clip(gt_labels, 0, nc - 1)
+    cls_cost = (
+        jnp.take_along_axis(pos[:, :, None, :], labels[:, None, :, None], axis=-1)
+        - jnp.take_along_axis(neg[:, :, None, :], labels[:, None, :, None], axis=-1)
+    )[..., 0]                                              # (B, Q, M)
+
+    l1_cost = jnp.abs(pred_boxes[:, :, None, :] - gt_boxes[:, None, :, :]).sum(-1)
+    giou_cost = -pairwise_giou(
+        cxcywh_to_xyxy(pred_boxes.astype(jnp.float32)),
+        cxcywh_to_xyxy(gt_boxes.astype(jnp.float32)),
+    )
+
+    cost = cost_class * cls_cost + cost_bbox * l1_cost + cost_giou * giou_cost
+    cost = jnp.where(gt_mask[:, None, :], cost, BIG_COST)
+    cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
+
+    assigned = jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((b, m), jnp.int32),
+        jax.lax.stop_gradient(cost),
+        vmap_method="sequential",
+    )
+    return assigned
+
+
+def detr_loss(
+    outputs: "Dict[str, jnp.ndarray]",
+    gt_labels: jnp.ndarray,
+    gt_boxes_xyxy: jnp.ndarray,   # (B, M, 4) absolute pixels
+    gt_mask: jnp.ndarray,
+    *,
+    img_hw: "Tuple[int, int]",
+    aux_weight: float = 1.0,
+) -> "Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]":
+    """Set loss over final + auxiliary decoder layers (VFL-style BCE with
+    IoU-aware targets + L1 + GIoU)."""
+    h, w = img_hw
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    gt_xyxy_n = gt_boxes_xyxy / scale
+    gt_cxcywh = jnp.stack(
+        [
+            (gt_xyxy_n[..., 0] + gt_xyxy_n[..., 2]) / 2,
+            (gt_xyxy_n[..., 1] + gt_xyxy_n[..., 3]) / 2,
+            gt_xyxy_n[..., 2] - gt_xyxy_n[..., 0],
+            gt_xyxy_n[..., 3] - gt_xyxy_n[..., 1],
+        ],
+        axis=-1,
+    )
+
+    layers = outputs["aux_outputs"] + [
+        {"pred_logits": outputs["pred_logits"], "pred_boxes": outputs["pred_boxes"]}
+    ]
+    total = jnp.zeros(())
+    metrics: "Dict[str, jnp.ndarray]" = {}
+    for li, layer in enumerate(layers):
+        weight = 1.0 if li == len(layers) - 1 else aux_weight
+        l, m = _single_layer_loss(
+            layer["pred_logits"], layer["pred_boxes"], gt_labels, gt_cxcywh, gt_mask
+        )
+        total = total + weight * l
+        if li == len(layers) - 1:
+            metrics = m
+    metrics["loss"] = total
+    return total, metrics
+
+
+def _single_layer_loss(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask):
+    b, q, nc = pred_logits.shape
+    assigned = hungarian_match(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask)
+
+    batch_idx = jnp.arange(b)[:, None]
+    matched_boxes = pred_boxes[batch_idx, assigned]          # (B, M, 4)
+    matched_logit_rows = assigned                            # (B, M)
+
+    num_gt = jnp.maximum(gt_mask.sum(), 1.0)
+
+    # Box losses on matched pairs.
+    l1 = jnp.abs(matched_boxes - gt_cxcywh).sum(-1)
+    from ..ops.boxes import elementwise_giou
+
+    giou = elementwise_giou(
+        cxcywh_to_xyxy(matched_boxes.astype(jnp.float32)),
+        cxcywh_to_xyxy(gt_cxcywh.astype(jnp.float32)),
+    )
+    box_loss = (l1 * gt_mask).sum() / num_gt
+    giou_loss = ((1.0 - giou) * gt_mask).sum() / num_gt
+
+    # IoU-aware classification targets (VFL-style): matched queries get the
+    # (stop-grad) IoU of their box as the soft target, others 0.
+    iou_q = jnp.zeros((b, q))
+    iou_val = jax.lax.stop_gradient(jnp.clip(giou, 0.0, 1.0)) * gt_mask
+    iou_q = iou_q.at[batch_idx, matched_logit_rows].max(iou_val)
+    target = iou_q[..., None] * jax.nn.one_hot(jnp.zeros((b, q), jnp.int32), nc)
+
+    logits = pred_logits.astype(jnp.float32)
+    bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    # VFL down-weights easy negatives by p^gamma.
+    p = jax.nn.sigmoid(logits)
+    neg_w = jax.lax.stop_gradient(p**2.0) * 0.75
+    w = jnp.where(target > 0, target, neg_w)
+    cls_loss = (bce * w).sum() / num_gt
+
+    total = cls_loss + 5.0 * box_loss + 2.0 * giou_loss
+    return total, {
+        "cls_loss": cls_loss,
+        "box_loss": box_loss,
+        "giou_loss": giou_loss,
+        "num_fg": gt_mask.sum(),
+    }

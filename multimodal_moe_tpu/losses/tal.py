@@ -76,7 +76,11 @@ def assign_targets(
     k = min(TOPK, a)
     topk_vals, topk_idx = jax.lax.top_k(metric, k)
     scatter = jax.vmap(jax.vmap(lambda idx, val: jnp.zeros(a, jnp.bool_).at[idx].set(val)))
-    cand = scatter(topk_idx, topk_vals > EPS)
+    # Strictly-positive test, not EPS: at cold start the align metric is
+    # score^α·IoU^β ≈ 1e-12 (β=6 crushes small IoUs), and an epsilon floor
+    # would reject every candidate → zero foreground forever. Anchors outside
+    # the GT are exactly 0, so >0 keeps precisely the inside-GT candidates.
+    cand = scatter(topk_idx, topk_vals > 0)
     cand = cand & in_gt & gt_mask[:, :, None]
 
     # Resolve anchors claimed by several GTs: keep the highest-IoU GT.
@@ -99,7 +103,11 @@ def assign_targets(
     iou_cand = jnp.where(cand, ious, 0.0)
     per_gt_max_metric = metric_cand.max(axis=-1, keepdims=True)   # (B, M, 1)
     per_gt_max_iou = iou_cand.max(axis=-1, keepdims=True)
-    norm = metric_cand * per_gt_max_iou / (per_gt_max_metric + EPS)  # (B, M, A)
+    # Relative normalization: an additive epsilon here would swamp the
+    # ~1e-12 cold-start metrics and zero every target weight (same failure
+    # mode as the candidate threshold above). The ratio is ≤ 1 by
+    # construction, so a tiny floor is safe.
+    norm = metric_cand * per_gt_max_iou / jnp.maximum(per_gt_max_metric, 1e-30)
     anchor_score = norm.max(axis=1)                        # (B, A)
 
     target_scores = (

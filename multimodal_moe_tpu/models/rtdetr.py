@@ -1,0 +1,341 @@
+"""RT-DETR detector, TPU-native (Flax): ResNet-vd backbone, hybrid encoder
+(AIFI + CCFF), multi-scale deformable-attention decoder with iterative box
+refinement and IoU-aware query selection.
+
+The reference runs this family through Ultralytics RT-DETR and the official
+RT-DETRv2 repo out-of-process (ref: src/models/vision/rtdetr.py:77-95,
+rtdetr_thirdparty.py:122-129, pinned lyuwenyu/RT-DETR@156ad82). This is the
+first-party equivalent with the architecture expressed as static-shape XLA:
+
+* AIFI — one standard transformer encoder layer on the stride-32 map only
+  (858 tokens at 704×1248): plain MHA is MXU-friendly at this size
+* CCFF — top-down/bottom-up cross-scale conv fusion (CSP blocks)
+* decoder — 300 queries; per layer: query self-attention, multi-scale
+  deformable cross-attention (ops/deformable.py), FFN; boxes refined in
+  inverse-sigmoid space layer by layer
+* NMS-free: predictions come straight from the final layer (the locked
+  protocol's NMS applies to the YOLO family; DETR eval uses top-k scores,
+  ref: notes/experiment_protocol_camera.md:83-86)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.deformable import ms_deformable_attention
+from .layers import CSPStage, ConvBNAct, MLP
+from .resnet import ResNet
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+def sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0) -> np.ndarray:
+    """(H·W, dim) fixed 2D sine-cosine positional embedding (host-side,
+    folded to a compile-time constant under jit)."""
+    assert dim % 4 == 0
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    quarter = dim // 4
+    omega = 1.0 / (temperature ** (np.arange(quarter) / quarter))
+    out = []
+    for grid in (xs, ys):
+        ang = grid.reshape(-1)[:, None] * omega[None]
+        out += [np.sin(ang), np.cos(ang)]
+    return np.concatenate(out, axis=1).astype(np.float32)
+
+
+class EncoderLayer(nn.Module):
+    """Standard pre-activation-free transformer encoder layer (AIFI)."""
+
+    dim: int
+    num_heads: int = 8
+    ffn_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+        q = k = x + pos
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
+        )(q, k, x)
+        x = nn.LayerNorm(dtype=self.dtype)(x + attn)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)
+        y = nn.Dense(self.dim, dtype=self.dtype)(nn.gelu(y))
+        return nn.LayerNorm(dtype=self.dtype)(x + y)
+
+
+class HybridEncoder(nn.Module):
+    """AIFI on the top level + CCFF cross-scale fusion → 3 maps at hidden_dim."""
+
+    hidden_dim: int = 256
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, feats: "List[jnp.ndarray]", train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        # 1×1 input projections to the common width.
+        proj = [
+            ConvBNAct(self.hidden_dim, 1, act=False, **kw, name=f"in_proj{i}")(f, train)
+            for i, f in enumerate(feats)
+        ]
+
+        # AIFI on the stride-32 map.
+        b, h5, w5, c = proj[2].shape
+        tokens = proj[2].reshape(b, h5 * w5, c)
+        pos = jnp.asarray(sincos_2d(h5, w5, c))[None]
+        tokens = EncoderLayer(
+            dim=c, num_heads=self.num_heads, ffn_dim=self.hidden_dim * 4,
+            dtype=self.dtype, name="aifi",
+        )(tokens, pos)
+        p5 = tokens.reshape(b, h5, w5, c)
+
+        # CCFF: top-down then bottom-up.
+        from .layers import upsample2x
+
+        td4 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="td4")(
+            jnp.concatenate([upsample2x(p5), proj[1]], -1), train
+        )
+        td3 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="td3")(
+            jnp.concatenate([upsample2x(td4), proj[0]], -1), train
+        )
+        bu4 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="bu4")(
+            jnp.concatenate(
+                [ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down3")(td3, train), td4], -1
+            ),
+            train,
+        )
+        bu5 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="bu5")(
+            jnp.concatenate(
+                [ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down4")(bu4, train), p5], -1
+            ),
+            train,
+        )
+        return [td3, bu4, bu5]
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention module (projections around the
+    sampling core in ops/deformable.py)."""
+
+    dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,              # (B, Q, dim)
+        reference_points: jnp.ndarray,   # (B, Q, 4) cxcywh normalized
+        values: jnp.ndarray,             # (B, sum_HW, dim)
+        level_shapes: "Sequence[Tuple[int, int]]",
+    ) -> jnp.ndarray:
+        b, q, _ = query.shape
+        head_dim = self.dim // self.num_heads
+        n = self.num_heads * self.num_levels * self.num_points
+
+        v = nn.Dense(self.dim, dtype=self.dtype, name="value_proj")(values)
+        v = v.reshape(b, -1, self.num_heads, head_dim)
+
+        offsets = nn.Dense(
+            2 * n, dtype=self.dtype, name="sampling_offsets",
+            kernel_init=nn.initializers.zeros,
+            bias_init=_grid_init(self.num_heads, self.num_levels, self.num_points),
+        )(query).reshape(b, q, self.num_heads, self.num_levels, self.num_points, 2)
+        weights = nn.Dense(n, dtype=self.dtype, name="attention_weights")(query)
+        weights = jax.nn.softmax(
+            weights.reshape(b, q, self.num_heads, -1).astype(jnp.float32), axis=-1
+        ).reshape(b, q, self.num_heads, self.num_levels, self.num_points)
+
+        # Offsets scaled by the reference box size (RT-DETR convention).
+        ctr = reference_points[..., None, None, None, 0:2]
+        wh = reference_points[..., None, None, None, 2:4]
+        loc = ctr + offsets.astype(jnp.float32) / self.num_points * wh * 0.5
+
+        out = ms_deformable_attention(
+            v.astype(jnp.float32), level_shapes, loc, weights
+        )
+        return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(
+            out.astype(self.dtype)
+        )
+
+
+def _grid_init(num_heads: int, num_levels: int, num_points: int):
+    """Reference-style directional init for sampling-offset biases."""
+
+    def init(key, shape, dtype=jnp.float32):
+        thetas = np.arange(num_heads) * (2.0 * math.pi / num_heads)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (H, 2)
+        grid = grid / np.abs(grid).max(-1, keepdims=True)
+        grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+        scale = np.arange(1, num_points + 1).reshape(1, 1, num_points, 1)
+        return jnp.asarray((grid * scale).reshape(-1), dtype)
+
+    return init
+
+
+class DecoderLayer(nn.Module):
+    dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    ffn_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, reference_points, values, level_shapes):
+        q = k = query + query_pos
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
+        )(q, k, query)
+        query = nn.LayerNorm(dtype=self.dtype)(query + attn)
+
+        cross = MSDeformAttn(
+            dim=self.dim, num_heads=self.num_heads, num_levels=self.num_levels,
+            num_points=self.num_points, dtype=self.dtype, name="cross_attn",
+        )(query + query_pos, reference_points, values, level_shapes)
+        query = nn.LayerNorm(dtype=self.dtype)(query + cross)
+
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype)(query)
+        y = nn.Dense(self.dim, dtype=self.dtype)(nn.relu(y))
+        return nn.LayerNorm(dtype=self.dtype)(query + y)
+
+
+class RTDETRDetector(nn.Module):
+    """Full RT-DETR. Output dict matches the evaluator interface ("boxes" in
+    absolute xyxy pixels + "cls_logits") plus DETR-native fields
+    (pred_logits/pred_boxes/aux_outputs) for the Hungarian loss."""
+
+    num_classes: int = 1
+    hidden_dim: int = 256
+    num_queries: int = 300
+    num_decoder_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4
+    backbone_depths: "Tuple[int, ...]" = (3, 4, 6, 3)  # r50
+    dtype: Any = jnp.float32
+    axis_name: "str | None" = None
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> "Dict[str, Any]":
+        b, img_h, img_w, _ = images.shape
+        backbone = ResNet(
+            stage_sizes=self.backbone_depths, num_classes=None, vd=True,
+            dtype=self.dtype, axis_name=self.axis_name, name="backbone",
+        )
+        c2, c3, c4, c5 = backbone(images, train)
+        feats = HybridEncoder(
+            hidden_dim=self.hidden_dim, num_heads=self.num_heads,
+            dtype=self.dtype, axis_name=self.axis_name, name="encoder",
+        )([c3, c4, c5], train)
+
+        level_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        memory = jnp.concatenate(
+            [f.reshape(b, -1, self.hidden_dim) for f in feats], axis=1
+        )  # (B, sum_HW, C)
+
+        # --- IoU-aware query selection from encoder output ------------------
+        enc_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="enc_score")(
+            memory
+        )
+        enc_boxes_delta = MLP(
+            self.hidden_dim, 4, num_layers=3, dtype=self.dtype, name="enc_bbox"
+        )(memory)
+        anchors, valid_mask = self._anchors(level_shapes)
+        enc_boxes = jax.nn.sigmoid(enc_boxes_delta.astype(jnp.float32) + anchors[None])
+
+        scores = jnp.max(enc_logits.astype(jnp.float32), -1)
+        scores = jnp.where(valid_mask[None], scores, -1e9)
+        _, topk = jax.lax.top_k(scores, self.num_queries)
+        ref_boxes = jnp.take_along_axis(enc_boxes, topk[..., None], axis=1)  # (B,Q,4)
+        content = jnp.take_along_axis(memory, topk[..., None], axis=1)
+        content = jax.lax.stop_gradient(content)
+        ref_boxes_init = jax.lax.stop_gradient(ref_boxes)
+
+        query = MLP(
+            self.hidden_dim, self.hidden_dim, num_layers=2, dtype=self.dtype,
+            name="query_proj",
+        )(content)
+
+        # --- decoder with iterative refinement -------------------------------
+        aux_outputs = []
+        ref = ref_boxes_init
+        for li in range(self.num_decoder_layers):
+            query_pos = MLP(
+                self.hidden_dim, self.hidden_dim, num_layers=2, dtype=self.dtype,
+                name=f"ref_embed{li}",
+            )(jax.lax.stop_gradient(ref).astype(self.dtype))
+            query = DecoderLayer(
+                dim=self.hidden_dim, num_heads=self.num_heads,
+                num_levels=len(feats), num_points=self.num_points,
+                dtype=self.dtype, name=f"decoder{li}",
+            )(query, query_pos, jax.lax.stop_gradient(ref), memory, level_shapes)
+
+            delta = MLP(
+                self.hidden_dim, 4, num_layers=3, dtype=self.dtype,
+                name=f"bbox_head{li}",
+            )(query)
+            ref = jax.nn.sigmoid(
+                delta.astype(jnp.float32) + inverse_sigmoid(ref)
+            )
+            logits = nn.Dense(
+                self.num_classes, dtype=self.dtype, name=f"cls_head{li}",
+                bias_init=nn.initializers.constant(-4.6),
+            )(query)
+            aux_outputs.append(
+                {"pred_logits": logits.astype(jnp.float32), "pred_boxes": ref}
+            )
+
+        final = aux_outputs[-1]
+        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        cxcywh = final["pred_boxes"] * scale
+        boxes_xyxy = jnp.concatenate(
+            [cxcywh[..., 0:2] - cxcywh[..., 2:4] / 2, cxcywh[..., 0:2] + cxcywh[..., 2:4] / 2],
+            axis=-1,
+        )
+        return {
+            "pred_logits": final["pred_logits"],
+            "pred_boxes": final["pred_boxes"],
+            "aux_outputs": aux_outputs[:-1],
+            "enc_outputs": {"pred_logits": enc_logits.astype(jnp.float32), "pred_boxes": enc_boxes},
+            "boxes": boxes_xyxy,                    # (B, Q, 4) xyxy pixels
+            "cls_logits": final["pred_logits"],     # evaluator interface
+        }
+
+    def _anchors(self, level_shapes, grid_size: float = 0.05):
+        """Per-location anchor priors in inverse-sigmoid space (host numpy →
+        compile-time constant)."""
+        all_anchors = []
+        valids = []
+        for lvl, (h, w) in enumerate(level_shapes):
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            cx = (xs + 0.5) / w
+            cy = (ys + 0.5) / h
+            wh = np.full_like(cx, grid_size * (2.0**lvl))
+            a = np.stack([cx, cy, wh, wh], -1).reshape(-1, 4)
+            valid = ((a > 0.01) & (a < 0.99)).all(-1)
+            a = np.clip(a, 0.01, 0.99)
+            all_anchors.append(np.log(a / (1 - a)))
+            valids.append(valid)
+        return (
+            jnp.asarray(np.concatenate(all_anchors).astype(np.float32)),
+            jnp.asarray(np.concatenate(valids)),
+        )
+
+
+def rtdetr_loss(outputs, gt_labels, gt_boxes, gt_mask, *, img_hw=(704, 1248)):
+    """DETR set loss incl. encoder auxiliary head."""
+    from ..losses.hungarian import detr_loss
+
+    return detr_loss(outputs, gt_labels, gt_boxes, gt_mask, img_hw=img_hw)

@@ -30,8 +30,11 @@ def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
     Context-aware models (MoE) receive the per-image solar bin ids."""
     context_aware = getattr(model, "context_aware", False)
 
+    # Params are jit arguments, not closure constants (closure-constant
+    # weights bloat the executable and poison transfer bandwidth on the
+    # remote-TPU tunnel; see memory: axon-closure-constants).
     @jax.jit
-    def infer(images_u8, context_ids=None):
+    def infer_v(variables, images_u8, context_ids=None):
         images = images_u8.astype(jnp.float32) / 255.0
         kwargs = {}
         if context_aware and context_ids is not None:
@@ -42,7 +45,31 @@ def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
             scores = jax.nn.sigmoid(scores)
         return out["boxes"], scores
 
+    def infer(images_u8, context_ids=None):
+        return infer_v(variables, images_u8, context_ids)
+
     return infer
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("max_det", "score_threshold"))
+def _topk_select(boxes, scores, max_det: int, score_threshold: float):
+    """NMS-free selection (DETR family): per image, top-max_det by score."""
+    from ..ops.nms import NmsResult
+
+    k = min(max_det, scores.shape[-1])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    valid = top_scores > score_threshold
+    classes = jnp.where(valid, 0, -1).astype(jnp.int32)
+    return NmsResult(
+        jnp.where(valid[..., None], top_boxes, 0.0),
+        jnp.where(valid, top_scores, 0.0),
+        classes,
+        valid,
+    )
 
 
 def evaluate_detector(
@@ -54,6 +81,7 @@ def evaluate_detector(
     max_det: int = 300,
     gt_from_batch: bool = True,
     compute_curves: bool = True,
+    use_nms: bool = True,
 ) -> "Dict[str, Any]":
     """Run eval over a loader; returns the reference-schema metrics dict.
 
@@ -82,13 +110,17 @@ def evaluate_detector(
         t_inf += now - t_mark
         t_mark = now
 
-        nms = batched_nms(
-            boxes,
-            scores,
-            iou_threshold=iou_threshold,
-            score_threshold=score_threshold,
-            max_det=max_det,
-        )
+        if use_nms:
+            nms = batched_nms(
+                boxes,
+                scores,
+                iou_threshold=iou_threshold,
+                score_threshold=score_threshold,
+                max_det=max_det,
+            )
+        else:
+            # NMS-free (DETR family): top-max_det by score.
+            nms = _topk_select(boxes, scores, max_det, score_threshold)
         jax.block_until_ready(nms.scores)
         now = time.perf_counter()
         t_post += now - t_mark

@@ -1,0 +1,277 @@
+// mmoe_jpeg: multithreaded JPEG decode (+ bilinear resize) for the input
+// pipeline. The TPU-native counterpart of the decode work the reference
+// leaves to PIL inside torch DataLoader workers
+// (ref: src/data/zodmoe_frames.py:144-169, scripts/build_ZOD_index.py:217-221).
+//
+// Exposed as a C ABI consumed from Python via ctypes
+// (multimodal_moe_tpu/data/native_decode.py). Decoding runs on a std::thread
+// pool entirely outside the GIL; output is written straight into a
+// caller-provided NHWC uint8 buffer so batches land in one contiguous
+// allocation ready for jax.device_put.
+//
+// Build: native/build.sh  (g++ -O3 -shared -ljpeg)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Bilinear resize HWC uint8 (src -> dst), matching PIL's BILINEAR closely
+// enough for training data (the canonical resized corpus is produced once by
+// the indexer; this path handles size mismatches at load time).
+void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
+                     int dw) {
+  const float sx = static_cast<float>(sw) / dw;
+  const float sy = static_cast<float>(sh) / dh;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = static_cast<int>(fy);
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      int x0 = static_cast<int>(fx);
+      int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+      float wx = fx - x0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = src[(y0 * sw + x0) * 3 + c];
+        float v01 = src[(y0 * sw + x1) * 3 + c];
+        float v10 = src[(y1 * sw + x0) * 3 + c];
+        float v11 = src[(y1 * sw + x1) * 3 + c];
+        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                  v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[(y * dw + x) * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+// Decode one JPEG buffer into out (out_h × out_w × 3 uint8). Returns 0 on
+// success. Uses libjpeg DCT scaling to decode at a reduced size when the
+// target is much smaller than the source (cheap downscale).
+int decode_one(const uint8_t* data, size_t len, uint8_t* out, int out_h,
+               int out_w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  // DCT scaling: pick the smallest scale >= target in both dims.
+  for (unsigned denom = 8; denom >= 2; --denom) {
+    if (cinfo.image_width * 1u / denom >= static_cast<unsigned>(out_w) &&
+        cinfo.image_height * 1u / denom >= static_cast<unsigned>(out_h)) {
+      cinfo.scale_num = 1;
+      cinfo.scale_denom = denom;
+      break;
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width;
+  const int sh = cinfo.output_height;
+  const bool direct = (sw == out_w && sh == out_h);
+
+  std::vector<uint8_t> tmp;
+  uint8_t* target = out;
+  if (!direct) {
+    tmp.resize(static_cast<size_t>(sw) * sh * 3);
+    target = tmp.data();
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = target + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (!direct) resize_bilinear(tmp.data(), sh, sw, out, out_h, out_w);
+  return 0;
+}
+
+int read_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size <= 0) {
+    std::fclose(f);
+    return 1;
+  }
+  buf.resize(static_cast<size_t>(size));
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  return got == buf.size() ? 0 : 1;
+}
+
+}  // namespace
+
+// Decode one 4:2:0 JPEG straight to raw YCbCr planes (no chroma upsample, no
+// color conversion — both move to the TPU). Roughly 40% less host CPU than a
+// full RGB decode and HALF the bytes over the host→device link:
+// y: (h, w); cb/cr: (h/2, w/2). Returns 0 on success, 3 if the stream is not
+// 3-component 2×2-subsampled (caller falls back to the RGB path).
+int decode_one_yuv420(const uint8_t* data, size_t len, uint8_t* y_out,
+                      uint8_t* cb_out, uint8_t* cr_out, int h, int w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  if (cinfo.num_components != 3 ||
+      static_cast<int>(cinfo.image_height) != h ||
+      static_cast<int>(cinfo.image_width) != w ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  cinfo.raw_data_out = TRUE;
+  cinfo.out_color_space = JCS_YCbCr;
+  jpeg_start_decompress(&cinfo);
+
+  const int ch = h / 2, cw = w / 2;
+  // libjpeg hands raw data in MCU-row chunks of 16 luma rows (8 chroma).
+  JSAMPROW y_rows[16], cb_rows[8], cr_rows[8];
+  JSAMPARRAY planes[3] = {y_rows, cb_rows, cr_rows};
+  int y_done = 0, c_done = 0;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    for (int r = 0; r < 16; ++r) {
+      int yy = y_done + r;
+      y_rows[r] = y_out + static_cast<size_t>(yy < h ? yy : h - 1) * w;
+    }
+    for (int r = 0; r < 8; ++r) {
+      int cy = c_done + r;
+      cb_rows[r] = cb_out + static_cast<size_t>(cy < ch ? cy : ch - 1) * cw;
+      cr_rows[r] = cr_out + static_cast<size_t>(cy < ch ? cy : ch - 1) * cw;
+    }
+    JDIMENSION got = jpeg_read_raw_data(&cinfo, planes, 16);
+    if (got == 0) break;
+    y_done += static_cast<int>(got);
+    c_done += static_cast<int>(got) / 2;
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+extern "C" {
+
+// Decode a single in-memory JPEG. Returns 0 on success.
+int mmoe_decode_jpeg(const uint8_t* data, size_t len, uint8_t* out, int out_h,
+                     int out_w) {
+  return decode_one(data, len, out, out_h, out_w);
+}
+
+// Raw-plane variant (see decode_one_yuv420).
+int mmoe_decode_jpeg_yuv420(const uint8_t* data, size_t len, uint8_t* y_out,
+                            uint8_t* cb_out, uint8_t* cr_out, int h, int w) {
+  return decode_one_yuv420(data, len, y_out, cb_out, cr_out, h, w);
+}
+
+// Decode n files into a contiguous (n, h, w, 3) uint8 buffer using a thread
+// pool. status[i] receives the per-file result code. Returns the number of
+// failures.
+int mmoe_decode_files(const char** paths, int n, uint8_t* out, int h, int w,
+                      int n_threads, int* status) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t frame = static_cast<size_t>(h) * w * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> buf;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = read_file(paths[i], buf);
+      if (rc == 0) rc = decode_one(buf.data(), buf.size(), out + frame * i, h, w);
+      status[i] = rc;
+      if (rc != 0) failures.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  return failures.load();
+}
+
+// Batched files → contiguous YUV420 planes: y (n,h,w), cb/cr (n,h/2,w/2).
+int mmoe_decode_files_yuv420(const char** paths, int n, uint8_t* y_out,
+                             uint8_t* cb_out, uint8_t* cr_out, int h, int w,
+                             int n_threads, int* status) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t y_sz = static_cast<size_t>(h) * w;
+  const size_t c_sz = y_sz / 4;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> buf;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = read_file(paths[i], buf);
+      if (rc == 0)
+        rc = decode_one_yuv420(buf.data(), buf.size(), y_out + y_sz * i,
+                               cb_out + c_sz * i, cr_out + c_sz * i, h, w);
+      status[i] = rc;
+      if (rc != 0) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  return failures.load();
+}
+
+// Version/capability probe.
+int mmoe_jpeg_version() { return 11; }
+
+}  // extern "C"

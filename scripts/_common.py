@@ -2,9 +2,18 @@
 ``python -m scripts.x`` or ``python scripts/x.py``, matching the reference's
 convention, ref: scripts/add_solar_context_bins.py:38-42)."""
 
+import os
 import sys
 from pathlib import Path
 
 PROJECT_ROOT = Path(__file__).resolve().parents[1]
 if str(PROJECT_ROOT) not in sys.path:
     sys.path.insert(0, str(PROJECT_ROOT))
+
+# MMOE_PLATFORM=cpu|tpu overrides the backend (the environment's site startup
+# pins jax_platforms to the TPU tunnel, ignoring JAX_PLATFORMS).
+_platform = os.environ.get("MMOE_PLATFORM")
+if _platform:
+    import jax
+
+    jax.config.update("jax_platforms", _platform)

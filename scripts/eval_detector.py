@@ -86,12 +86,25 @@ def main() -> None:
     variant = model_cfg.get("variant", "s")
     family = model_cfg.get("family", args.backend)
 
-    if family in ("yolo", "moe"):
+    if family == "moe":
+        from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+
+        model = MoEYoloDetector(
+            num_classes=model_cfg.get("num_classes", 1),
+            variant=variant,
+            num_experts=model_cfg.get("num_experts", 4),
+        )
+    elif family == "yolo":
         model = YoloDetector(num_classes=model_cfg.get("num_classes", 1), variant=variant)
     else:
         from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
 
-        model = RTDETRDetector(num_classes=model_cfg.get("num_classes", 1))
+        model = RTDETRDetector(
+            num_classes=model_cfg.get("num_classes", 1),
+            hidden_dim=model_cfg.get("hidden_dim", 256),
+            num_queries=model_cfg.get("num_queries", 300),
+            num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
+        )
 
     cfg = DetTrainConfig(variant=variant, img_h=args.img_h, img_w=args.img_w)
     trainer = DetectionTrainer(model, cfg, steps_per_epoch=1)
@@ -121,6 +134,7 @@ def main() -> None:
         infer,
         iou_threshold=args.nms_iou,
         max_det=args.max_det,
+        use_nms=(family != "rtdetr"),  # DETR family is NMS-free by design
     )
     metrics = add_derived_speed_metrics(metrics)
     metrics["params_total"] = count_params(params)

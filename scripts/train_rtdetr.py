@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Train the TPU-native RT-DETR detector.
+
+CLI counterpart of ref: scripts/train_rtdetr.py:30-138 and the third-party
+flow (scripts/train_rtdetr_thirdparty.py): same dataset/protocol defaults,
+same artifact outputs — but the model, deformable attention, Hungarian loss
+and training loop are all first-party (no subprocess, no CUDA third party).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+
+from _common import PROJECT_ROOT  # noqa: F401
+
+from multimodal_moe_tpu import paths
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Train RT-DETR (TPU-native).")
+    p.add_argument(
+        "--parquet",
+        type=str,
+        default=str(paths.ZODMOE_FRAMES_WITH_BOXES_AND_SOLAR_BINS_PARQUET),
+    )
+    p.add_argument("--splits-dir", type=str, default=str(paths.SPLITS_DIR))
+    p.add_argument("--img-h", type=int, default=704)
+    p.add_argument("--img-w", type=int, default=1248)
+    p.add_argument("--epochs", type=int, default=72)
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr0", type=float, default=1e-4)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--num-queries", type=int, default=300)
+    p.add_argument("--decoder-layers", type=int, default=6)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--project", type=str, default=str(paths.RUNS_DIR / "rtdetr"))
+    p.add_argument("--name", type=str, default="baseline")
+    p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-boxes", type=int, default=96)
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    from multimodal_moe_tpu.data.pipeline import (
+        DetectionLoader,
+        ZODMoEDataConfig,
+        ZODMoEVisionDataset,
+    )
+    from multimodal_moe_tpu.models.rtdetr import RTDETRDetector, rtdetr_loss
+    from multimodal_moe_tpu.models.yolo import count_params
+    from multimodal_moe_tpu.train.artifacts import (
+        collect_runtime_info,
+        save_metrics_json,
+        save_run_metadata_artifacts,
+        save_training_summary,
+    )
+    from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
+    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_fn
+
+    run_dir = Path(args.project) / args.name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    splits_dir = Path(args.splits_dir)
+
+    def make_ds(split):
+        return ZODMoEVisionDataset(
+            ZODMoEDataConfig(
+                frames_parquet=args.parquet,
+                split_csv=str(splits_dir / f"{split}_ids.csv"),
+                img_h=args.img_h,
+                img_w=args.img_w,
+                max_boxes=args.max_boxes,
+                unclear_policy=args.unclear_policy,
+            )
+        )
+
+    train_loader = DetectionLoader(
+        make_ds("train"), batch_size=args.batch, shuffle=True,
+        seed=args.seed, num_workers=args.workers,
+    )
+    val_loader = DetectionLoader(
+        make_ds("val"), batch_size=args.batch, drop_last=False,
+        num_workers=args.workers,
+    )
+
+    model = RTDETRDetector(
+        num_classes=1,
+        hidden_dim=args.hidden_dim,
+        num_queries=args.num_queries,
+        num_decoder_layers=args.decoder_layers,
+    )
+    cfg = DetTrainConfig(
+        variant="r50vd",
+        img_h=args.img_h,
+        img_w=args.img_w,
+        epochs=args.epochs,
+        patience=args.patience,
+        batch=args.batch,
+        seed=args.seed,
+        lr0=args.lr0,
+        lrf=1.0,          # RT-DETR keeps a flat LR with AdamW
+        optimizer="adamw",
+        weight_decay=1e-4,
+        warmup_epochs=1.0,
+    )
+    loss_fn = functools.partial(rtdetr_loss, img_hw=(args.img_h, args.img_w))
+    trainer = DetectionTrainer(
+        model, cfg, loss_fn=loss_fn, steps_per_epoch=len(train_loader)
+    )
+
+    def val_fn(state):
+        variables = {"params": state.ema_params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        infer = make_inference_fn(model, variables)
+        return evaluate_detector(
+            iter(val_loader), infer, use_nms=False, compute_curves=False
+        )
+
+    t0 = time.perf_counter()
+    state, summary = trainer.fit(
+        train_loader, run_dir=run_dir, val_fn=val_fn, resume=args.resume
+    )
+    wall = time.perf_counter() - t0
+
+    (run_dir / "model_config.json").write_text(
+        json.dumps(
+            {
+                "family": "rtdetr",
+                "variant": "r50vd",
+                "num_classes": 1,
+                "hidden_dim": args.hidden_dim,
+                "num_queries": args.num_queries,
+                "num_decoder_layers": args.decoder_layers,
+                "img_h": args.img_h,
+                "img_w": args.img_w,
+            },
+            indent=2,
+        )
+    )
+
+    n_params = count_params(state.params)
+    save_training_summary(
+        train_wall_time_s=wall,
+        model_name="rtdetr-r50vd",
+        data_yaml=args.parquet,
+        run_name=args.name,
+        out_json_path=run_dir / "train_summary.json",
+        out_csv_path=run_dir / "train_summary.csv",
+        params_total=n_params,
+        params_trainable=n_params,
+        extra={"epochs_run": summary["epochs_run"], "best_fitness": summary["best_fitness"]},
+    )
+    if summary["history"]:
+        last = summary["history"][-1]
+        save_metrics_json(
+            {k: v for k, v in last.items() if isinstance(v, (int, float))},
+            run_dir / "train_metrics.json",
+        )
+    metadata = {
+        "model_family": "rtdetr",
+        "model_variant": "r50vd",
+        "run_name": args.name,
+        "seed": args.seed,
+        "img_h": args.img_h,
+        "img_w": args.img_w,
+        "unclear_policy": args.unclear_policy,
+        "parquet": str(args.parquet),
+        "epochs": args.epochs,
+        "batch": args.batch,
+    }
+    metadata.update(collect_runtime_info())
+    save_run_metadata_artifacts(
+        metadata, run_dir / "run_metadata.json", run_dir / "run_metadata.csv"
+    )
+    print(f"Run artifacts -> {run_dir}")
+
+
+if __name__ == "__main__":
+    main()

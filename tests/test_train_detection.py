@@ -57,6 +57,9 @@ class TestTraining:
         assert summary["epochs_run"] == 2
         assert np.isfinite(summary["history"][0]["loss"])
         assert int(state.step) == 2  # 1 step/epoch at batch 8 over 8 frames
+        # Regression guard: the assigner must produce foreground anchors on
+        # real pipeline data even at cold start (metric ≈ 1e-12 with β=6).
+        assert summary["history"][0]["num_fg"] > 0
 
     def test_checkpoints_written(self, trained):
         *_, run_dir = trained
