@@ -145,10 +145,13 @@ class DetectionTrainer:
             new_state = state.apply_gradients(grads, tx, new_stats)
             return new_state, metrics
 
+        # State shardings are inferred from the arrays' placement (replicated
+        # by default; expert-stacked MoE weights stay sharded over the expert
+        # axis when the caller placed them there via shard_params) — pinning
+        # them replicated here would silently undo expert parallelism.
         return jax.jit(
             step_fn,
-            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
-            out_shardings=(replicated(self.mesh), None),
+            in_shardings=(None, batch_sharding(self.mesh)),
             donate_argnums=(0,),
         )
 
