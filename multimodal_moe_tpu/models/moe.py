@@ -38,6 +38,19 @@ class RouterOutput(NamedTuple):
     expert_load: jnp.ndarray  # (E,) fraction of tokens routed per expert
 
 
+class RouterDecision(NamedTuple):
+    """Sparse routing decision: O(T·k) memory instead of the O(T·E·C)
+    dispatch tensors (C grows with T, so those are quadratic in T — fine for
+    small token counts, impossible at full-resolution feature maps)."""
+
+    expert_idx: jnp.ndarray   # (T, k) int32
+    gates: jnp.ndarray        # (T, k) fp32, renormalized over selected experts
+    position: jnp.ndarray     # (T, k) int32 slot within the expert's queue
+    valid: jnp.ndarray        # (T, k) bool — False once capacity is exceeded
+    aux_loss: jnp.ndarray     # scalar
+    expert_load: jnp.ndarray  # (E,)
+
+
 def _top_k_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     """(T, E) logits → bool mask of each token's top-k experts."""
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
@@ -88,21 +101,106 @@ def route_top_k(
     return RouterOutput(combine, dispatch, aux, topk.astype(jnp.float32).mean(0))
 
 
-class ContextRouter(nn.Module):
-    """Router with additive context bias over solar bins (fp32 gate)."""
+def route_top_k_sparse(
+    logits: jnp.ndarray,
+    *,
+    k: int,
+    capacity: int,
+    balance_coef: float = 0.01,
+    z_loss_coef: float = 1e-3,
+) -> RouterDecision:
+    """Capacity-constrained top-k routing, sparse representation.
+
+    Same semantics as :func:`route_top_k` (same greedy token-order capacity
+    assignment, same aux losses) but O(T·k) outputs.
+    """
+    logits = logits.astype(jnp.float32)
+    t, e = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    topk_probs, topk_idx = jax.lax.top_k(probs, k)                 # (T, k)
+    gates = topk_probs / jnp.maximum(topk_probs.sum(-1, keepdims=True), 1e-9)
+
+    # Position within each expert's queue, in (token-major, slot-minor)
+    # order — identical ordering to the dense path's cumsum over T.
+    onehot = jax.nn.one_hot(topk_idx.reshape(-1), e, dtype=jnp.int32)  # (T·k, E)
+    position_flat = jnp.cumsum(onehot, axis=0) - onehot
+    position = jnp.take_along_axis(
+        position_flat.reshape(t, k, e), topk_idx[..., None], axis=-1
+    )[..., 0]                                                       # (T, k)
+    valid = position < capacity
+
+    # Same loss as the dense path: f_e = fraction of top-k selections on
+    # expert e scaled by E/k; P_e = mean router prob.
+    f_e = jnp.zeros(e).at[topk_idx.reshape(-1)].add(1.0) / (t * k) * e
+    balance = (f_e * probs.mean(0)).sum() * e
+    z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    aux = balance_coef * balance + z_loss_coef * z
+
+    expert_load = jnp.zeros(e).at[topk_idx.reshape(-1)].add(1.0) / t
+    return RouterDecision(topk_idx, gates, position, valid, aux, expert_load)
+
+
+def moe_apply_sparse(
+    tokens: jnp.ndarray,          # (T, d)
+    decision: RouterDecision,
+    w1: jnp.ndarray,              # (E, d, h)
+    b1: jnp.ndarray,              # (E, 1, h)
+    w2: jnp.ndarray,              # (E, h, d)
+    b2: jnp.ndarray,              # (E, 1, d)
+    *,
+    capacity: int,
+    activation=nn.silu,
+) -> jnp.ndarray:
+    """Linear-cost dispatch: scatter tokens into (E, C, d) expert buffers,
+    batched expert matmuls, gather back with gate weighting.
+
+    All indices are unique among valid slots, so the scatter is a plain
+    ``.at[].set`` — O(T·k·d) data movement, no (T, E, C) tensor ever exists.
+    """
+    t, d = tokens.shape
+    e = w1.shape[0]
+    k = decision.expert_idx.shape[1]
+
+    flat_expert = decision.expert_idx.reshape(-1)                   # (T·k,)
+    flat_pos = decision.position.reshape(-1)
+    flat_valid = decision.valid.reshape(-1)
+    # Invalid (over-capacity) copies land in a trash slot at the end.
+    slot = jnp.where(flat_valid, flat_expert * capacity + flat_pos, e * capacity)
+
+    token_ids = jnp.arange(t * k) // k
+    src = tokens[token_ids]                                          # (T·k, d)
+    buf = jnp.zeros((e * capacity + 1, d), tokens.dtype).at[slot].set(
+        jnp.where(flat_valid[:, None], src, 0)
+    )
+    expert_in = buf[: e * capacity].reshape(e, capacity, d)
+
+    mid = activation(
+        jnp.einsum("ecd,edh->ech", expert_in, w1.astype(tokens.dtype))
+        + b1.astype(tokens.dtype)
+    )
+    expert_out = (
+        jnp.einsum("ech,ehd->ecd", mid, w2.astype(tokens.dtype))
+        + b2.astype(tokens.dtype)
+    )
+
+    flat_out = expert_out.reshape(e * capacity, d)
+    gathered = flat_out[jnp.clip(slot, 0, e * capacity - 1)]         # (T·k, d)
+    weighted = gathered * (
+        decision.gates.reshape(-1, 1).astype(tokens.dtype)
+        * flat_valid[:, None].astype(tokens.dtype)
+    )
+    return weighted.reshape(t, k, d).sum(axis=1)
+
+
+class ContextGate(nn.Module):
+    """The gate itself: token·W + context_embed[bin] in fp32 (ref notes :77-87)."""
 
     num_experts: int
     num_context_bins: int = NUM_SOLAR_BINS
-    k: int = 2
-    capacity_factor: float = 1.25
-    balance_coef: float = 0.01
-    z_loss_coef: float = 1e-3
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, context_ids: jnp.ndarray) -> RouterOutput:
-        """tokens (T, d) fp-any; context_ids (T,) int32 → RouterOutput."""
-        t = tokens.shape[0]
-        # fp32 gate regardless of trunk dtype (ref notes :77-87).
+    def __call__(self, tokens: jnp.ndarray, context_ids: jnp.ndarray) -> jnp.ndarray:
         w = self.param(
             "router_kernel",
             nn.initializers.truncated_normal(0.02),
@@ -115,7 +213,27 @@ class ContextRouter(nn.Module):
             (self.num_context_bins, self.num_experts),
             jnp.float32,
         )
-        logits = tokens.astype(jnp.float32) @ w + context_bias[context_ids]
+        return tokens.astype(jnp.float32) @ w + context_bias[context_ids]
+
+
+class ContextRouter(nn.Module):
+    """Router with additive context bias over solar bins (fp32 gate),
+    dense (T, E, C) output representation."""
+
+    num_experts: int
+    num_context_bins: int = NUM_SOLAR_BINS
+    k: int = 2
+    capacity_factor: float = 1.25
+    balance_coef: float = 0.01
+    z_loss_coef: float = 1e-3
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, context_ids: jnp.ndarray) -> RouterOutput:
+        """tokens (T, d) fp-any; context_ids (T,) int32 → RouterOutput."""
+        t = tokens.shape[0]
+        logits = ContextGate(
+            self.num_experts, self.num_context_bins, name="gate"
+        )(tokens, context_ids)
         capacity = max(int(t * self.k * self.capacity_factor / self.num_experts), self.k)
         return route_top_k(
             logits,
@@ -140,24 +258,28 @@ class MoEFFN(nn.Module):
     capacity_factor: float = 1.25
     num_context_bins: int = NUM_SOLAR_BINS
     dtype: Any = jnp.float32
+    # "dense": (T,E,C) einsum dispatch — fastest for small T (pure matmuls)
+    #          but O(T²) compute/memory since C grows with T.
+    # "sparse": sort/scatter dispatch — O(T·k·d), required at feature-map
+    #           token counts (B·H·W ≈ 10⁵).
+    # "auto": sparse above _DENSE_TOKEN_LIMIT tokens.
+    dispatch: str = "auto"
+
+    _DENSE_TOKEN_LIMIT = 4096
 
     @nn.compact
     def __call__(
         self, tokens: jnp.ndarray, context_ids: jnp.ndarray
     ) -> "Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]":
         """tokens (T, d), context_ids (T,) → (T, d), aux dict."""
-        d = tokens.shape[-1]
+        t, d = tokens.shape
         h = int(d * self.hidden_mult)
         e = self.num_experts
+        capacity = max(int(t * self.k * self.capacity_factor / e), self.k)
 
-        router = ContextRouter(
-            num_experts=e,
-            num_context_bins=self.num_context_bins,
-            k=self.k,
-            capacity_factor=self.capacity_factor,
-            name="router",
+        logits = ContextGate(e, self.num_context_bins, name="router")(
+            tokens, context_ids
         )
-        r = router(tokens, context_ids)
 
         w1 = self.param(
             "experts_w1", nn.initializers.lecun_normal(), (e, d, h), jnp.float32
@@ -168,24 +290,37 @@ class MoEFFN(nn.Module):
         )
         b2 = self.param("experts_b2", nn.initializers.zeros, (e, 1, d), jnp.float32)
 
+        mode = self.dispatch
+        if mode == "auto":
+            mode = "dense" if t <= self._DENSE_TOKEN_LIMIT else "sparse"
+
         x = tokens.astype(self.dtype)
-        # dispatch: (T,E,C) × (T,d) → (E,C,d); both einsums are MXU matmuls.
-        expert_in = jnp.einsum(
-            "tec,td->ecd", r.dispatch.astype(self.dtype), x
-        )
-        mid = nn.silu(
-            jnp.einsum("ecd,edh->ech", expert_in, w1.astype(self.dtype))
-            + b1.astype(self.dtype)
-        )
-        expert_out = (
-            jnp.einsum("ech,ehd->ecd", mid, w2.astype(self.dtype))
-            + b2.astype(self.dtype)
-        )
-        out = jnp.einsum(
-            "tec,ecd->td", r.combine.astype(self.dtype), expert_out
-        )
+        if mode == "dense":
+            r = route_top_k(logits, k=self.k, capacity=capacity)
+            expert_in = jnp.einsum(
+                "tec,td->ecd", r.dispatch.astype(self.dtype), x
+            )
+            mid = nn.silu(
+                jnp.einsum("ecd,edh->ech", expert_in, w1.astype(self.dtype))
+                + b1.astype(self.dtype)
+            )
+            expert_out = (
+                jnp.einsum("ech,ehd->ecd", mid, w2.astype(self.dtype))
+                + b2.astype(self.dtype)
+            )
+            out = jnp.einsum(
+                "tec,ecd->td", r.combine.astype(self.dtype), expert_out
+            )
+            aux_loss, expert_load = r.aux_loss, r.expert_load
+        else:
+            rd = route_top_k_sparse(logits, k=self.k, capacity=capacity)
+            out = moe_apply_sparse(
+                x, rd, w1, b1, w2, b2, capacity=capacity
+            )
+            aux_loss, expert_load = rd.aux_loss, rd.expert_load
+
         aux = {
-            "moe_aux_loss": r.aux_loss,
-            "expert_load": r.expert_load,
+            "moe_aux_loss": aux_loss,
+            "expert_load": expert_load,
         }
         return tokens + out.astype(tokens.dtype), aux

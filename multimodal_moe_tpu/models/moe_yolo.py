@@ -33,6 +33,7 @@ class MoEYoloDetector(nn.Module):
     num_experts: int = 4
     k: int = 2
     capacity_factor: float = 1.25
+    dispatch: str = "auto"  # sparse above 4096 tokens (see MoEFFN)
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
 
@@ -65,6 +66,7 @@ class MoEYoloDetector(nn.Module):
                 num_experts=self.num_experts,
                 k=self.k,
                 capacity_factor=self.capacity_factor,
+                dispatch=self.dispatch,
                 dtype=self.dtype,
                 name=f"moe_level{i}",
             )(tokens, token_ctx)

@@ -50,6 +50,58 @@ class TestRouteTopK:
         np.testing.assert_allclose(float(r.expert_load.sum()), 2.0, rtol=1e-5)
 
 
+class TestSparseDispatch:
+    """The O(T·k) sort/scatter path must match the dense (T,E,C) einsum path."""
+
+    def test_sparse_matches_dense(self):
+        dense = MoEFFN(num_experts=4, k=2, dispatch="dense")
+        sparse = MoEFFN(num_experts=4, k=2, dispatch="sparse")
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (96, 16))
+        ctx = jnp.zeros(96, jnp.int32)
+        variables = dense.init(jax.random.PRNGKey(1), tokens, ctx)
+        out_d, aux_d = dense.apply(variables, tokens, ctx)
+        out_s, aux_s = sparse.apply(variables, tokens, ctx)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s), atol=1e-5)
+        np.testing.assert_allclose(
+            float(aux_d["moe_aux_loss"]), float(aux_s["moe_aux_loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux_d["expert_load"]), np.asarray(aux_s["expert_load"]), rtol=1e-5
+        )
+
+    def test_sparse_capacity_drops(self):
+        from multimodal_moe_tpu.models.moe import route_top_k_sparse
+
+        logits = jnp.tile(jnp.array([[5.0, 1.0]]), (4, 1))
+        rd = route_top_k_sparse(logits, k=1, capacity=2)
+        assert rd.valid[:, 0].tolist() == [True, True, False, False]
+
+    def test_sparse_grads_flow(self):
+        ffn = MoEFFN(num_experts=2, k=2, dispatch="sparse", capacity_factor=2.0)
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+        ctx = jnp.zeros(32, jnp.int32)
+        variables = ffn.init(jax.random.PRNGKey(1), tokens, ctx)
+
+        def loss(params):
+            out, aux = ffn.apply({"params": params}, tokens, ctx)
+            return (out**2).mean() + aux["moe_aux_loss"]
+
+        grads = jax.grad(loss)(variables["params"])
+        for w in ("experts_w1", "experts_w2"):
+            assert float(jnp.abs(grads[w]).sum()) > 0
+
+    def test_auto_switches_on_token_count(self):
+        # Under jit with T > limit, auto must pick sparse (no (T,E,C) tensor).
+        ffn = MoEFFN(num_experts=4, k=2, dispatch="auto")
+        t = 8192
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (t, 8))
+        ctx = jnp.zeros(t, jnp.int32)
+        variables = ffn.init(jax.random.PRNGKey(1), tokens, ctx)
+        out, aux = jax.jit(ffn.apply)(variables, tokens, ctx)
+        assert out.shape == (t, 8)
+        assert np.isfinite(float(aux["moe_aux_loss"]))
+
+
 class TestContextRouter:
     def test_context_bias_changes_routing(self):
         router = ContextRouter(num_experts=4, k=1)
