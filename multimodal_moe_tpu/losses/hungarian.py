@@ -121,8 +121,60 @@ def detr_loss(
         total = total + weight * l
         if li == len(layers) - 1:
             metrics = m
+
+    # Contrastive-denoising branch: identity matching (slot j ↔ GT j%M),
+    # positives reconstruct their GT, negatives predict background.
+    dn_layers = outputs.get("dn_outputs") or []
+    if dn_layers:
+        dn_total = jnp.zeros(())
+        for layer in dn_layers:
+            dn_total = dn_total + _dn_layer_loss(
+                layer["pred_logits"], layer["pred_boxes"],
+                outputs["dn_is_pos"], gt_cxcywh, gt_mask,
+            )
+        dn_total = dn_total / len(dn_layers)
+        total = total + dn_total
+        metrics["dn_loss"] = dn_total
     metrics["loss"] = total
     return total, metrics
+
+
+def _dn_layer_loss(pred_logits, pred_boxes, dn_is_pos, gt_cxcywh, gt_mask):
+    """Denoising loss for one decoder layer.
+
+    Slot layout (build_denoising_queries): slot = g2·M + j, source GT index
+    j = slot % M; even half-groups are positives."""
+    b, d_slots, nc = pred_logits.shape
+    m = gt_cxcywh.shape[1]
+    src = jnp.arange(d_slots) % m                                  # (D,)
+    tgt_boxes = gt_cxcywh[:, src]                                  # (B, D, 4)
+    valid = gt_mask[:, src]                                        # (B, D)
+    pos = valid & dn_is_pos[None, :]
+    num_pos = jnp.maximum(pos.sum(), 1.0)
+
+    from ..ops.boxes import elementwise_giou
+
+    l1 = jnp.abs(pred_boxes - tgt_boxes).sum(-1)
+    giou = elementwise_giou(
+        cxcywh_to_xyxy(pred_boxes.astype(jnp.float32)),
+        cxcywh_to_xyxy(tgt_boxes.astype(jnp.float32)),
+    )
+    box_loss = (l1 * pos).sum() / num_pos
+    giou_loss = ((1.0 - giou) * pos).sum() / num_pos
+
+    # Classification: positives target stop-grad IoU, negatives/invalid 0.
+    iou_t = jax.lax.stop_gradient(jnp.clip(giou, 0.0, 1.0)) * pos
+    target = iou_t[..., None] * jax.nn.one_hot(jnp.zeros((b, d_slots), jnp.int32), nc)
+    logits = pred_logits.astype(jnp.float32)
+    bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p = jax.nn.sigmoid(logits)
+    neg_w = jax.lax.stop_gradient(p**2.0) * 0.75
+    w = jnp.where(target > 0, target, neg_w)
+    # Padded (invalid) slots contribute nothing at all.
+    w = w * valid[..., None]
+    cls_loss = (bce * w).sum() / num_pos
+
+    return cls_loss + 5.0 * box_loss + 2.0 * giou_loss
 
 
 def _single_layer_loss(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask):

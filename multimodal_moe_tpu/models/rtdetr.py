@@ -185,6 +185,61 @@ def _grid_init(num_heads: int, num_levels: int, num_points: int):
     return init
 
 
+def build_denoising_queries(
+    rng: jax.Array,
+    gt_boxes: jnp.ndarray,   # (B, M, 4) cxcywh normalized
+    gt_mask: jnp.ndarray,    # (B, M)
+    *,
+    num_groups: int = 2,
+    num_matching: int,
+    box_noise_scale: float = 1.0,
+):
+    """Contrastive denoising (CDN) query construction, static shapes.
+
+    Per group, every GT slot yields a positive query (small box jitter — the
+    decoder must reconstruct the GT) and a negative (large jitter — must
+    predict background). Counterpart of RT-DETRv2's denoising branch.
+
+    Returns (dn_ref (B, D, 4) in [0,1], dn_is_pos (D,) bool,
+    attn_mask (D+Q, D+Q) bool with True = may attend), D = 2·groups·M.
+    """
+    b, m, _ = gt_boxes.shape
+    d = 2 * num_groups * m
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    boxes = jnp.tile(gt_boxes[:, None], (1, 2 * num_groups, 1, 1))   # (B, 2G, M, 4)
+    is_pos = (
+        jnp.arange(2 * num_groups) % 2 == 0
+    )                                                                 # (2G,)
+    # positive: shift ∈ (−0.5, 0.5)·wh·scale; negative: ∈ ±(0.5, 1.0)·wh·scale
+    shift_u = jax.random.uniform(k1, boxes[..., :2].shape, minval=-1.0, maxval=1.0)
+    mag = jnp.where(
+        is_pos[None, :, None, None], jnp.abs(shift_u) * 0.5, 0.5 + jnp.abs(shift_u) * 0.5
+    )
+    shift = jnp.sign(shift_u) * mag * boxes[..., 2:4] * box_noise_scale
+    scale_u = jax.random.uniform(
+        k2, boxes[..., 2:4].shape, minval=-0.5, maxval=0.5
+    ) * box_noise_scale
+    wh_scale = jnp.where(is_pos[None, :, None, None], 1.0 + 0.5 * scale_u, 1.0 + scale_u)
+    ctr = boxes[..., 0:2] + shift
+    wh = boxes[..., 2:4] * jnp.abs(wh_scale)
+    dn = jnp.clip(jnp.concatenate([ctr, wh], -1), 1e-4, 1.0 - 1e-4)
+    dn_ref = dn.reshape(b, d, 4)
+    dn_is_pos = jnp.repeat(is_pos, m, total_repeat_length=d)          # (D,)
+
+    # Attention mask: queries within a dn group see only their group;
+    # matching queries never see dn queries; dn queries never see matching.
+    total = d + num_matching
+    group_id = jnp.concatenate(
+        [
+            jnp.repeat(jnp.arange(num_groups), 2 * m, total_repeat_length=d),
+            jnp.full((num_matching,), num_groups + 1),
+        ]
+    )
+    attn_mask = group_id[:, None] == group_id[None, :]                # (T, T)
+    return dn_ref, dn_is_pos, attn_mask
+
+
 class DecoderLayer(nn.Module):
     dim: int = 256
     num_heads: int = 8
@@ -194,11 +249,15 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, query, query_pos, reference_points, values, level_shapes):
+    def __call__(self, query, query_pos, reference_points, values, level_shapes,
+                 attn_mask=None):
         q = k = query + query_pos
+        mask = None
+        if attn_mask is not None:
+            mask = attn_mask[None, None]  # (1, 1, Q, Q) broadcast over B, heads
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
-        )(q, k, query)
+        )(q, k, query, mask=mask)
         query = nn.LayerNorm(dtype=self.dtype)(query + attn)
 
         cross = MSDeformAttn(
@@ -223,12 +282,21 @@ class RTDETRDetector(nn.Module):
     num_decoder_layers: int = 6
     num_heads: int = 8
     num_points: int = 4
+    num_denoising_groups: int = 2  # CDN groups; 0 disables denoising
     backbone_depths: "Tuple[int, ...]" = (3, 4, 6, 3)  # r50
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
 
+    denoising_capable: bool = True  # trainer passes GT + a 'denoise' rng
+
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> "Dict[str, Any]":
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        train: bool = False,
+        gt_boxes: "jnp.ndarray | None" = None,   # (B, M, 4) xyxy pixels (CDN)
+        gt_mask: "jnp.ndarray | None" = None,    # (B, M)
+    ) -> "Dict[str, Any]":
         b, img_h, img_w, _ = images.shape
         backbone = ResNet(
             stage_sizes=self.backbone_depths, num_classes=None, vd=True,
@@ -268,8 +336,46 @@ class RTDETRDetector(nn.Module):
             name="query_proj",
         )(content)
 
+        # --- contrastive denoising queries (training only) -------------------
+        use_dn = (
+            train
+            and self.num_denoising_groups > 0
+            and gt_boxes is not None
+            and gt_mask is not None
+            and self.has_rng("denoise")
+        )
+        # Created unconditionally so init (no GT) and train (GT) share params.
+        dn_embed = self.param(
+            "dn_content_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1, self.hidden_dim),
+            jnp.float32,
+        )
+        num_dn = 0
+        dn_is_pos = None
+        attn_mask = None
+        if use_dn:
+            scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+            gt_n = gt_boxes / scale
+            gt_cxcywh = jnp.concatenate(
+                [(gt_n[..., 0:2] + gt_n[..., 2:4]) / 2, gt_n[..., 2:4] - gt_n[..., 0:2]],
+                axis=-1,
+            )
+            dn_ref, dn_is_pos, attn_mask = build_denoising_queries(
+                self.make_rng("denoise"),
+                jnp.clip(gt_cxcywh, 1e-4, 1 - 1e-4),
+                gt_mask,
+                num_groups=self.num_denoising_groups,
+                num_matching=self.num_queries,
+            )
+            num_dn = dn_ref.shape[1]
+            dn_query = jnp.tile(dn_embed.astype(self.dtype), (b, num_dn, 1))
+            query = jnp.concatenate([dn_query, query], axis=1)
+            ref_boxes_init = jnp.concatenate([dn_ref, ref_boxes_init], axis=1)
+
         # --- decoder with iterative refinement -------------------------------
         aux_outputs = []
+        dn_outputs = []
         ref = ref_boxes_init
         for li in range(self.num_decoder_layers):
             query_pos = MLP(
@@ -280,7 +386,8 @@ class RTDETRDetector(nn.Module):
                 dim=self.hidden_dim, num_heads=self.num_heads,
                 num_levels=len(feats), num_points=self.num_points,
                 dtype=self.dtype, name=f"decoder{li}",
-            )(query, query_pos, jax.lax.stop_gradient(ref), memory, level_shapes)
+            )(query, query_pos, jax.lax.stop_gradient(ref), memory, level_shapes,
+              attn_mask=attn_mask)
 
             delta = MLP(
                 self.hidden_dim, 4, num_layers=3, dtype=self.dtype,
@@ -294,8 +401,18 @@ class RTDETRDetector(nn.Module):
                 bias_init=nn.initializers.constant(-4.6),
             )(query)
             aux_outputs.append(
-                {"pred_logits": logits.astype(jnp.float32), "pred_boxes": ref}
+                {
+                    "pred_logits": logits.astype(jnp.float32)[:, num_dn:],
+                    "pred_boxes": ref[:, num_dn:],
+                }
             )
+            if num_dn:
+                dn_outputs.append(
+                    {
+                        "pred_logits": logits.astype(jnp.float32)[:, :num_dn],
+                        "pred_boxes": ref[:, :num_dn],
+                    }
+                )
 
         final = aux_outputs[-1]
         scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
@@ -304,7 +421,7 @@ class RTDETRDetector(nn.Module):
             [cxcywh[..., 0:2] - cxcywh[..., 2:4] / 2, cxcywh[..., 0:2] + cxcywh[..., 2:4] / 2],
             axis=-1,
         )
-        return {
+        out = {
             "pred_logits": final["pred_logits"],
             "pred_boxes": final["pred_boxes"],
             "aux_outputs": aux_outputs[:-1],
@@ -312,6 +429,11 @@ class RTDETRDetector(nn.Module):
             "boxes": boxes_xyxy,                    # (B, Q, 4) xyxy pixels
             "cls_logits": final["pred_logits"],     # evaluator interface
         }
+        if num_dn:
+            out["dn_outputs"] = dn_outputs
+            out["dn_is_pos"] = dn_is_pos
+            out["dn_groups"] = self.num_denoising_groups
+        return out
 
     def _anchors(self, level_shapes, grid_size: float = 0.05):
         """Per-location anchor priors in inverse-sigmoid space (host numpy →

@@ -115,12 +115,19 @@ class DetectionTrainer:
         model, loss_fn, tx = self.model, self.loss_fn, self._tx
 
         context_aware = getattr(model, "context_aware", False)
+        denoising = getattr(model, "denoising_capable", False)
+        base_rng = jax.random.PRNGKey(self.cfg.seed + 7919)
 
         def step_fn(state: TrainState, batch) -> "tuple[TrainState, Dict]":
             images = batch["image"].astype(jnp.float32) / 255.0
             extra = {}
+            rngs = {}
             if context_aware and "solar_bin" in batch:
                 extra["context_ids"] = batch["solar_bin"]
+            if denoising:
+                extra["gt_boxes"] = batch["gt_boxes"]
+                extra["gt_mask"] = batch["gt_mask"]
+                rngs["denoise"] = jax.random.fold_in(base_rng, state.step)
 
             def compute_loss(params):
                 variables = {"params": params}
@@ -131,6 +138,7 @@ class DetectionTrainer:
                     images,
                     train=True,
                     mutable=["batch_stats"] if state.batch_stats else [],
+                    rngs=rngs or None,
                     **extra,
                 )
                 total, metrics = loss_fn(

@@ -156,6 +156,39 @@ class TestRTDETR:
         bx = np.asarray(out["boxes"])
         assert (bx[..., 2] >= bx[..., 0]).all()
 
+    def test_denoising_branch(self, tiny):
+        from multimodal_moe_tpu.models.rtdetr import rtdetr_loss
+
+        model, variables = tiny
+        gt_boxes = jnp.array([[[10.0, 10.0, 50.0, 40.0], [70.0, 20.0, 110.0, 60.0]]])
+        gt_mask = jnp.array([[True, True]])
+        images = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 128, 3))
+        out, _ = model.apply(
+            variables,
+            images,
+            train=True,
+            gt_boxes=gt_boxes,
+            gt_mask=gt_mask,
+            rngs={"denoise": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+        assert "dn_outputs" in out
+        d = out["dn_outputs"][0]["pred_boxes"].shape[1]
+        assert d == 2 * model.num_denoising_groups * 2  # 2G·M with M=2
+        # matching part unchanged in width
+        assert out["pred_boxes"].shape == (1, 20, 4)
+
+        total, metrics = rtdetr_loss(
+            out, jnp.zeros((1, 2), jnp.int32), gt_boxes, gt_mask, img_hw=(64, 128)
+        )
+        assert "dn_loss" in metrics
+        assert np.isfinite(float(total)) and np.isfinite(float(metrics["dn_loss"]))
+
+    def test_no_denoising_at_eval(self, tiny):
+        model, variables = tiny
+        out = model.apply(variables, jnp.zeros((1, 64, 128, 3)), train=False)
+        assert "dn_outputs" not in out
+
     def test_loss_and_grads(self, tiny):
         from multimodal_moe_tpu.models.rtdetr import rtdetr_loss
 
