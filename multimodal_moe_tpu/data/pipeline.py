@@ -87,6 +87,13 @@ class ZODMoEVisionDataset:
     def __len__(self) -> int:
         return len(self.df)
 
+    def __getitem__(self, i: int):
+        """Torch-Dataset-style access: ``(image, label)`` tuple
+        (ref: src/data/zodmoe_frames.py:144-169). ``load(i)`` returns the
+        full fixed-shape sample dict."""
+        s = self.load(i)
+        return s["image"], s["label"]
+
     def _boxes_for_row(self, row) -> np.ndarray:
         if self.cfg.boxes_col not in self.df.columns:
             return np.zeros((0, 4), np.float32)
@@ -158,25 +165,39 @@ class DetectionLoader:
         seed: int = 0,
         num_workers: int = 8,
         drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count`` shard the dataset across hosts
+        for multi-host training (pass ``jax.process_index()`` /
+        ``jax.process_count()``): every host sees a disjoint strided slice of
+        the (identically shuffled) epoch order, so the global batch is the
+        union of per-host batches."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._indices_static())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices_static(self) -> np.ndarray:
+        return np.arange(len(self.dataset))[self.process_index :: self.process_count]
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # Same permutation on every host (seed is epoch-derived, not
+            # host-derived); the stride below disjoints them.
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
-        return idx
+        return idx[self.process_index :: self.process_count]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()

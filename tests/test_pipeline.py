@@ -95,6 +95,30 @@ class TestLoader:
         assert not np.array_equal(b1["image"], b1b["image"])
 
 
+class TestMultiHostSharding:
+    def test_processes_get_disjoint_complete_coverage(self, dataset):
+        loaders = [
+            DetectionLoader(
+                dataset, batch_size=2, shuffle=True, seed=5,
+                process_index=i, process_count=2, drop_last=False,
+            )
+            for i in range(2)
+        ]
+        seen = []
+        for loader in loaders:
+            for batch in loader:
+                seen.append(batch["image"][batch["batch_valid"]])
+        imgs = np.concatenate(seen)
+        assert imgs.shape[0] == len(dataset)  # disjoint + complete
+        # uniqueness via content hash
+        hashes = {arr.tobytes() for arr in imgs}
+        assert len(hashes) == len(dataset)
+
+    def test_len_accounts_for_sharding(self, dataset):
+        l = DetectionLoader(dataset, batch_size=2, process_index=0, process_count=2)
+        assert len(l) == len(dataset) // 2 // 2
+
+
 class TestPrefetch:
     def test_prefetch_to_mesh(self, dataset):
         import jax
