@@ -94,9 +94,12 @@ def evaluate_detector(
     n_images = 0
     t_mark = time.perf_counter()
 
+    # Stage boundaries are synchronized by fetching a scalar to host:
+    # block_until_ready does not actually synchronize on tunneled TPU
+    # runtimes, which would mis-attribute stage times.
     for batch in loader:
         images = jax.device_put(batch["image"])
-        jax.block_until_ready(images)
+        float(jnp.asarray(images[0, 0, 0, 0], jnp.float32))
         now = time.perf_counter()
         t_pre += now - t_mark
         t_mark = now
@@ -105,7 +108,7 @@ def evaluate_detector(
         boxes, scores = (
             infer_fn(images, jax.device_put(ctx)) if ctx is not None else infer_fn(images)
         )
-        jax.block_until_ready(scores)
+        float(scores[0, 0])
         now = time.perf_counter()
         t_inf += now - t_mark
         t_mark = now
@@ -121,7 +124,7 @@ def evaluate_detector(
         else:
             # NMS-free (DETR family): top-max_det by score.
             nms = _topk_select(boxes, scores, max_det, score_threshold)
-        jax.block_until_ready(nms.scores)
+        float(nms.scores[0, 0])
         now = time.perf_counter()
         t_post += now - t_mark
 
