@@ -151,9 +151,11 @@ def moe_apply_sparse(
     *,
     capacity: int,
     activation=nn.silu,
+    use_pallas_ffn: bool = False,
 ) -> jnp.ndarray:
     """Linear-cost dispatch: scatter tokens into (E, C, d) expert buffers,
-    batched expert matmuls, gather back with gate weighting.
+    batched expert matmuls (or the fused Pallas FFN kernel), gather back
+    with gate weighting.
 
     All indices are unique among valid slots, so the scatter is a plain
     ``.at[].set`` — O(T·k·d) data movement, no (T, E, C) tensor ever exists.
@@ -173,18 +175,25 @@ def moe_apply_sparse(
     buf = jnp.zeros((e * capacity + 1, d), tokens.dtype).at[slot].set(
         jnp.where(flat_valid[:, None], src, 0)
     )
-    expert_in = buf[: e * capacity].reshape(e, capacity, d)
 
-    mid = activation(
-        jnp.einsum("ecd,edh->ech", expert_in, w1.astype(tokens.dtype))
-        + b1.astype(tokens.dtype)
-    )
-    expert_out = (
-        jnp.einsum("ech,ehd->ecd", mid, w2.astype(tokens.dtype))
-        + b2.astype(tokens.dtype)
-    )
+    if use_pallas_ffn:
+        # Fused Pallas expert FFN: hidden activations never leave VMEM.
+        from ..ops.moe_kernels import fused_expert_ffn
 
-    flat_out = expert_out.reshape(e * capacity, d)
+        flat_out = fused_expert_ffn(
+            buf[: e * capacity], w1, b1, w2, b2, capacity
+        )
+    else:
+        expert_in = buf[: e * capacity].reshape(e, capacity, d)
+        mid = activation(
+            jnp.einsum("ecd,edh->ech", expert_in, w1.astype(tokens.dtype))
+            + b1.astype(tokens.dtype)
+        )
+        expert_out = (
+            jnp.einsum("ech,ehd->ecd", mid, w2.astype(tokens.dtype))
+            + b2.astype(tokens.dtype)
+        )
+        flat_out = expert_out.reshape(e * capacity, d)
     gathered = flat_out[jnp.clip(slot, 0, e * capacity - 1)]         # (T·k, d)
     weighted = gathered * (
         decision.gates.reshape(-1, 1).astype(tokens.dtype)
@@ -264,6 +273,9 @@ class MoEFFN(nn.Module):
     #           token counts (B·H·W ≈ 10⁵).
     # "auto": sparse above _DENSE_TOKEN_LIMIT tokens.
     dispatch: str = "auto"
+    # Fused Pallas expert FFN on the sparse path (rounds capacity up to the
+    # kernel tile; requires d and hidden to be 128-lane friendly).
+    use_pallas_ffn: bool = False
 
     _DENSE_TOKEN_LIMIT = 4096
 
@@ -313,9 +325,14 @@ class MoEFFN(nn.Module):
             )
             aux_loss, expert_load = r.aux_loss, r.expert_load
         else:
+            if self.use_pallas_ffn:
+                from ..ops.moe_kernels import round_up_capacity
+
+                capacity = round_up_capacity(capacity)
             rd = route_top_k_sparse(logits, k=self.k, capacity=capacity)
             out = moe_apply_sparse(
-                x, rd, w1, b1, w2, b2, capacity=capacity
+                x, rd, w1, b1, w2, b2, capacity=capacity,
+                use_pallas_ffn=self.use_pallas_ffn,
             )
             aux_loss, expert_load = rd.aux_loss, rd.expert_load
 
