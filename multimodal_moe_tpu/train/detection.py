@@ -106,9 +106,17 @@ class DetectionTrainer:
             # train-step input donate the same buffer twice.
             ema_params=jax.tree.map(jnp.copy, params),
         )
-        # Replicate over the mesh (expert sharding handled by shard_params
-        # for MoE models at the call site).
-        return jax.device_put(state, replicated(self.mesh))
+        state = jax.device_put(state, replicated(self.mesh))
+        # Expert-stacked weights shard over the mesh's expert axis (no-op on
+        # a 1-wide expert axis or for dense models).
+        from ..parallel.mesh import EXPERT_AXIS, shard_params
+
+        if self.mesh.shape[EXPERT_AXIS] > 1:
+            state = state.replace(
+                params=shard_params(state.params, self.mesh),
+                ema_params=shard_params(state.ema_params, self.mesh),
+            )
+        return state
 
     # -- step ----------------------------------------------------------------
     def _build_train_step(self):
