@@ -30,6 +30,14 @@ def parse_args() -> argparse.Namespace:
         default=str(paths.ZODMOE_FRAMES_WITH_BOXES_AND_SOLAR_BINS_PARQUET),
     )
     p.add_argument("--splits-dir", type=str, default=str(paths.SPLITS_DIR))
+    p.add_argument(
+        "--data-yaml",
+        type=str,
+        default=None,
+        help="Train from an exported Ultralytics-layout dataset.yaml instead "
+        "of the parquet index (the reference CLI's primary input, "
+        "ref: scripts/train_yolo.py).",
+    )
     p.add_argument("--img-h", type=int, default=704)
     p.add_argument("--img-w", type=int, default=1248)
     p.add_argument("--epochs", type=int, default=50)
@@ -72,7 +80,22 @@ def main() -> None:
     run_dir.mkdir(parents=True, exist_ok=True)
     splits_dir = Path(args.splits_dir)
 
-    def make_ds(split: str) -> ZODMoEVisionDataset:
+    def make_ds(split: str):
+        if args.data_yaml:
+            from multimodal_moe_tpu.data.yolo_layout import (
+                YoloLayoutConfig,
+                YoloLayoutDataset,
+            )
+
+            return YoloLayoutDataset(
+                YoloLayoutConfig(
+                    dataset_yaml=args.data_yaml,
+                    split=split,
+                    img_h=args.img_h,
+                    img_w=args.img_w,
+                    max_boxes=args.max_boxes,
+                )
+            )
         return ZODMoEVisionDataset(
             ZODMoEDataConfig(
                 frames_parquet=args.parquet,
