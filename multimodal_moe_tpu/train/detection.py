@@ -50,6 +50,10 @@ class DetTrainConfig:
     optimizer: str = "sgd"
     dtype: str = "bfloat16"
     use_ema_for_eval: bool = True
+    # Protocol-legal augmentation: photometric + horizontal flip only
+    # (geometric augs stay zero, ref: notes/experiment_protocol_camera.md:33-37).
+    hsv_aug: bool = True
+    hflip_prob: float = 0.5
 
 
 def _fitness(metrics: dict) -> float:
@@ -126,8 +130,20 @@ class DetectionTrainer:
         denoising = getattr(model, "denoising_capable", False)
         base_rng = jax.random.PRNGKey(self.cfg.seed + 7919)
 
+        cfg = self.cfg
+
         def step_fn(state: TrainState, batch) -> "tuple[TrainState, Dict]":
             images = batch["image"].astype(jnp.float32) / 255.0
+            gt_boxes = batch["gt_boxes"]
+            if cfg.hsv_aug or cfg.hflip_prob > 0:
+                from ..ops.augment import train_augment
+
+                aug_rng = jax.random.fold_in(base_rng, state.step)
+                images, gt_boxes = train_augment(
+                    images, gt_boxes, aug_rng,
+                    hsv=cfg.hsv_aug, hflip_prob=cfg.hflip_prob,
+                )
+            batch = dict(batch, gt_boxes=gt_boxes)
             extra = {}
             rngs = {}
             if context_aware and "solar_bin" in batch:
@@ -135,7 +151,7 @@ class DetectionTrainer:
             if denoising:
                 extra["gt_boxes"] = batch["gt_boxes"]
                 extra["gt_mask"] = batch["gt_mask"]
-                rngs["denoise"] = jax.random.fold_in(base_rng, state.step)
+                rngs["denoise"] = jax.random.fold_in(base_rng, state.step + 1_000_003)
 
             def compute_loss(params):
                 variables = {"params": params}
