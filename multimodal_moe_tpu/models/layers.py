@@ -13,7 +13,7 @@ The reference consumes these architectures from Ultralytics binaries
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn

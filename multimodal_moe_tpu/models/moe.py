@@ -22,7 +22,7 @@ all_to_alls). No gathers, no dynamic shapes, no host sync.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

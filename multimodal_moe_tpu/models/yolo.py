@@ -21,7 +21,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ the real pipeline stages instead of Ultralytics' profiler:
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -7,11 +7,7 @@ Expected values computed analytically from the pycocotools conventions
 import numpy as np
 import pytest
 
-from multimodal_moe_tpu.ops.coco_map import (
-    IOU_THRESHOLDS,
-    evaluate_detections,
-    match_image,
-)
+from multimodal_moe_tpu.ops.coco_map import evaluate_detections, match_image
 
 
 def _box(x, y, w, h):

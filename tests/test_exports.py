@@ -4,7 +4,6 @@ scripts/export_coco_dataset.py)."""
 import json
 
 import numpy as np
-import pandas as pd
 import pytest
 
 from multimodal_moe_tpu.data.exports import (
@@ -15,8 +14,6 @@ from multimodal_moe_tpu.data.exports import (
     xyxy_to_coco_xywh,
 )
 from multimodal_moe_tpu.data.index import load_split_frames
-from multimodal_moe_tpu.data.indexer import add_xyxy_bboxes
-from multimodal_moe_tpu.data.solar import add_solar_context_bins
 
 
 class TestSafeIterBoxes:

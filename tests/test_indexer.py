@@ -1,8 +1,6 @@
 """End-to-end indexing pipeline tests over the synthetic ZOD tree
 (behavior per ref: scripts/build_ZOD_index.py, scripts/add_bboxes.py)."""
 
-import json
-
 import numpy as np
 import pandas as pd
 import pytest

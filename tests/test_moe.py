@@ -233,7 +233,7 @@ class TestMoEYolo:
 class TestMoEOnMesh:
     def test_expert_sharded_train_step(self):
         """Full MoE train step on a (4 data × 2 expert) mesh."""
-        from multimodal_moe_tpu.parallel.mesh import create_mesh, shard_params
+        from multimodal_moe_tpu.parallel.mesh import create_mesh
         from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
 
         mesh = create_mesh(num_expert=2)

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from multimodal_moe_tpu.ops.moe_kernels import (
     TILE,

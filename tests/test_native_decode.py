@@ -107,8 +107,6 @@ class TestPreprocessOps:
         np.testing.assert_allclose(rgb, 128.0, atol=1e-4)
 
     def test_primary_colors(self):
-        import colorsys
-
         from multimodal_moe_tpu.ops.preprocess import yuv420_to_rgb
 
         # Pure red in BT.601: Y=76.245, Cb=84.972, Cr=255 (approximately).

@@ -121,8 +121,6 @@ class TestMultiHostSharding:
 
 class TestPrefetch:
     def test_prefetch_to_mesh(self, dataset):
-        import jax
-
         from multimodal_moe_tpu.parallel.mesh import batch_sharding, create_mesh
 
         mesh = create_mesh()  # 8 virtual CPU devices
