@@ -106,7 +106,10 @@ def main() -> None:
             num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
         )
 
-    cfg = DetTrainConfig(variant=variant, img_h=args.img_h, img_w=args.img_w)
+    cfg = DetTrainConfig(
+        variant=variant, img_h=args.img_h, img_w=args.img_w,
+        optimizer=model_cfg.get("optimizer", "sgd"),
+    )
     trainer = DetectionTrainer(model, cfg, steps_per_epoch=1)
     state = trainer.init_state()
     ckpt = CheckpointManager(ckpt_path.parent)

@@ -137,6 +137,7 @@ def main() -> None:
                 "num_classes": 1,
                 "num_experts": args.num_experts,
                 "top_k": args.top_k,
+                "optimizer": "sgd",
                 "img_h": args.img_h,
                 "img_w": args.img_w,
             },

@@ -139,6 +139,7 @@ def main() -> None:
                 "hidden_dim": args.hidden_dim,
                 "num_queries": args.num_queries,
                 "num_decoder_layers": args.decoder_layers,
+                "optimizer": "adamw",
                 "img_h": args.img_h,
                 "img_w": args.img_w,
             },

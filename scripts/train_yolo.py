@@ -154,6 +154,7 @@ def main() -> None:
                 "family": "yolo",
                 "variant": variant,
                 "num_classes": 1,
+                "optimizer": args.optimizer,
                 "img_h": args.img_h,
                 "img_w": args.img_w,
             },
