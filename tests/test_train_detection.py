@@ -80,6 +80,29 @@ class TestTraining:
         b = jax.tree.leaves(state.params)
         assert all(np.allclose(x, y) for x, y in zip(a, b))
 
+    def test_adamw_checkpoint_restores_with_matching_config(self, loaders, tmp_path):
+        """Regression: restoring requires the rebuilt opt-state structure to
+        match the checkpoint's optimizer (found via the rtdetr eval CLI)."""
+        from multimodal_moe_tpu.train.state import CheckpointManager
+
+        train_loader, _ = loaders
+        model = YoloDetector(num_classes=1, variant="n")
+        cfg = DetTrainConfig(
+            variant="n", img_h=64, img_w=128, epochs=1, batch=8, optimizer="adamw"
+        )
+        trainer = DetectionTrainer(model, cfg, steps_per_epoch=len(train_loader))
+        state, _ = trainer.fit(train_loader, run_dir=tmp_path)
+
+        eval_trainer = DetectionTrainer(
+            model,
+            DetTrainConfig(variant="n", img_h=64, img_w=128, optimizer="adamw"),
+            steps_per_epoch=1,
+        )
+        restored = CheckpointManager(tmp_path / "weights").restore(
+            "best", eval_trainer.init_state()
+        )
+        assert int(restored.step) == int(state.step)
+
     def test_params_changed_from_init(self, trained):
         model, trainer, state, _, _ = trained
         import jax
