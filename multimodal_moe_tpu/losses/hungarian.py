@@ -2,13 +2,11 @@
 
 The reference consumes this from RT-DETRv2's torch code; here the cost
 matrix (focal-style class cost + L1 + GIoU, the RT-DETR recipe) is computed
-on device with static shapes, and the O(M³) assignment itself runs on host
-via ``jax.pure_callback`` → ``scipy.optimize.linear_sum_assignment``.
-Rationale: per image M ≤ max_boxes (≤ ~100) — microseconds on host,
-negligible next to the forward pass — while a lax-based Jonker-Volgenant
-would burden the compiled graph for no wall-clock win. Padded GT rows carry
-a large constant cost so they match only leftover queries; their matches are
-masked out of the loss.
+on device with static shapes, and the assignment itself is the in-graph
+exact Jonker-Volgenant solver (ops/assignment.py) — host callbacks are
+unavailable on the tunneled TPU runtime, so the whole matcher must live
+inside the jitted step. Padded GT rows carry a large constant cost so they
+match only leftover queries; their matches are masked out of the loss.
 """
 
 from __future__ import annotations
@@ -17,25 +15,10 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.boxes import cxcywh_to_xyxy, pairwise_giou
 
 BIG_COST = 1e6
-
-
-def _lsa_host(cost: np.ndarray) -> "Tuple[np.ndarray, np.ndarray]":
-    """Batched linear sum assignment on host. cost: (B, Q, M) → row/col idx."""
-    from scipy.optimize import linear_sum_assignment
-
-    b, q, m = cost.shape
-    rows = np.zeros((b, m), np.int32)
-    for i in range(b):
-        r, c = linear_sum_assignment(cost[i])
-        # With Q >= M every GT column gets exactly one query row.
-        order = np.argsort(c)
-        rows[i] = r[order].astype(np.int32)
-    return rows
 
 
 def hungarian_match(
@@ -75,12 +58,12 @@ def hungarian_match(
     cost = jnp.where(gt_mask[:, None, :], cost, BIG_COST)
     cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
 
-    assigned = jax.pure_callback(
-        _lsa_host,
-        jax.ShapeDtypeStruct((b, m), jnp.int32),
-        jax.lax.stop_gradient(cost),
-        vmap_method="sequential",
-    )
+    # In-graph exact solver — the TPU runtime has no host-callback support,
+    # so scipy-via-pure_callback cannot run inside the jitted train step
+    # (scipy remains the test oracle; see ops/assignment.py).
+    from ..ops.assignment import batched_lsa_assign
+
+    assigned = batched_lsa_assign(jax.lax.stop_gradient(cost))
     return assigned
 
 
@@ -111,12 +94,28 @@ def detr_loss(
     layers = outputs["aux_outputs"] + [
         {"pred_logits": outputs["pred_logits"], "pred_boxes": outputs["pred_boxes"]}
     ]
+    # One batched matcher call for ALL decoder layers: the LSA solver's
+    # sequential sweeps dominate the loss cost, and L layers × B images
+    # vmap into a single solve instead of L serial ones.
+    n_layers = len(layers)
+    b = gt_mask.shape[0]
+    stack_logits = jnp.stack([l["pred_logits"] for l in layers])   # (L, B, Q, nc)
+    stack_boxes = jnp.stack([l["pred_boxes"] for l in layers])     # (L, B, Q, 4)
+    assigned_all = hungarian_match(
+        stack_logits.reshape((n_layers * b,) + stack_logits.shape[2:]),
+        stack_boxes.reshape((n_layers * b,) + stack_boxes.shape[2:]),
+        jnp.tile(gt_labels, (n_layers, 1)),
+        jnp.tile(gt_cxcywh, (n_layers, 1, 1)),
+        jnp.tile(gt_mask, (n_layers, 1)),
+    ).reshape(n_layers, b, -1)
+
     total = jnp.zeros(())
     metrics: "Dict[str, jnp.ndarray]" = {}
     for li, layer in enumerate(layers):
         weight = 1.0 if li == len(layers) - 1 else aux_weight
         l, m = _single_layer_loss(
-            layer["pred_logits"], layer["pred_boxes"], gt_labels, gt_cxcywh, gt_mask
+            layer["pred_logits"], layer["pred_boxes"], gt_labels, gt_cxcywh,
+            gt_mask, assigned=assigned_all[li],
         )
         total = total + weight * l
         if li == len(layers) - 1:
@@ -177,9 +176,11 @@ def _dn_layer_loss(pred_logits, pred_boxes, dn_is_pos, gt_cxcywh, gt_mask):
     return cls_loss + 5.0 * box_loss + 2.0 * giou_loss
 
 
-def _single_layer_loss(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask):
+def _single_layer_loss(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask,
+                       assigned=None):
     b, q, nc = pred_logits.shape
-    assigned = hungarian_match(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask)
+    if assigned is None:
+        assigned = hungarian_match(pred_logits, pred_boxes, gt_labels, gt_cxcywh, gt_mask)
 
     batch_idx = jnp.arange(b)[:, None]
     matched_boxes = pred_boxes[batch_idx, assigned]          # (B, M, 4)

@@ -1,0 +1,124 @@
+"""In-graph linear-sum assignment (exact Hungarian/Jonker-Volgenant).
+
+Why this exists: the DETR Hungarian matcher originally ran scipy's LSA
+through ``jax.pure_callback`` — but the tunneled TPU runtime does not
+support host callbacks at all (``UNIMPLEMENTED: axon_pjrt does not support
+host send/recv callbacks``), which made RT-DETR *training* impossible on
+the chip. This is the shortest-augmenting-path algorithm (the same family
+scipy uses) expressed with ``lax`` loops and fixed-shape arrays, so the
+whole matcher lives inside the jitted train step.
+
+Shape/control-flow design for XLA:
+* columns (ground truths, M) are inserted one at a time (``fori_loop``);
+  each insertion runs a Dijkstra-style label sweep (``while_loop``, at most
+  M+1 pulls) whose inner relaxation is one dense vector op over the Q rows;
+* the augmenting-path walk-back is another fixed-bound ``while_loop``;
+* everything is (Q,)- or (M,)-shaped — no dynamic sizes, no host sync.
+
+Cost: O(M² · Q) work as M+1 ≤ 100 sequential sweeps of (Q,) vector math —
+microseconds-scale per image on TPU, vmapped over the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(1e30)
+
+
+def lsa_assign(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact minimum-cost assignment. cost: (Q, M) with Q ≥ M.
+
+    Returns (M,) int32: the row assigned to each column. Matches scipy's
+    ``linear_sum_assignment`` up to cost ties.
+    """
+    q, m = cost.shape
+    cost = cost.astype(jnp.float32)
+
+    # Duals and matching. row_match[r] = column matched to row r, -1 if free.
+    u = jnp.zeros((m,), jnp.float32)          # column potentials
+    v = jnp.zeros((q,), jnp.float32)          # row potentials
+    row_match = jnp.full((q,), -1, jnp.int32)
+
+    def insert_column(col, carry):
+        u, v, row_match = carry
+
+        # Dijkstra labels over rows.
+        minv = jnp.full((q,), INF)
+        way = jnp.zeros((q,), jnp.int32)       # predecessor row of each row
+        used = jnp.zeros((q,), jnp.bool_)
+
+        # State: (cur_col, last_row, minv, way, used, u, v, found_row, done)
+        def sweep_cond(s):
+            return jnp.logical_not(s[-1])
+
+        def sweep_body(s):
+            cur_col, last_row, minv, way, used, u, v, _, _ = s
+            red = cost[:, cur_col] - u[cur_col] - v          # (Q,)
+            better = (red < minv) & (~used)
+            minv = jnp.where(better, red, minv)
+            way = jnp.where(better, last_row, way)
+
+            cand = jnp.where(used, INF, minv)
+            j1 = jnp.argmin(cand).astype(jnp.int32)
+            delta = cand[j1]
+
+            # Dual update: the inserted column and every used row's matched
+            # column gain delta; used rows lose it; labels of unused rows
+            # shrink by it.
+            u = u.at[col].add(delta)
+            col_gain = jnp.zeros((m,)).at[jnp.where(used, row_match, 0)].add(
+                jnp.where(used, delta, 0.0)
+            )
+            u = u + col_gain
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+
+            used = used.at[j1].set(True)
+            found = row_match[j1] < 0
+            next_col = jnp.where(found, cur_col, row_match[j1])
+            return (next_col, j1, minv, way, used, u, v, j1, found)
+
+        init = (
+            col, jnp.int32(-1), minv, way, used, u, v, jnp.int32(0),
+            jnp.bool_(False),
+        )
+        _, _, _, way, _, u, v, end_row, _ = jax.lax.while_loop(
+            sweep_cond, sweep_body, init
+        )
+
+        # Walk back the augmenting path, flipping matches.
+        def aug_cond(s):
+            row, _, it = s
+            return (row >= 0) & (it <= m + 1)
+
+        def aug_body(s):
+            row, row_match, it = s
+            prev = way[row]
+            prev_col = jnp.where(prev >= 0, row_match[prev], col)
+            row_match = row_match.at[row].set(prev_col)
+            return prev, row_match, it + 1
+
+        _, row_match, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (end_row, row_match, jnp.int32(0))
+        )
+        return u, v, row_match
+
+    u, v, row_match = jax.lax.fori_loop(0, m, insert_column, (u, v, row_match))
+
+    # Invert: column → row.
+    rows = jnp.arange(q, dtype=jnp.int32)
+    has = row_match >= 0
+    assigned = (
+        jnp.zeros((m,), jnp.int32)
+        .at[jnp.where(has, row_match, 0)]
+        .max(jnp.where(has, rows, 0))
+    )
+    return assigned
+
+
+@jax.jit
+def batched_lsa_assign(cost: jnp.ndarray) -> jnp.ndarray:
+    """(B, Q, M) → (B, M) assigned rows (exact, in-graph)."""
+    return jax.vmap(lsa_assign)(cost)
