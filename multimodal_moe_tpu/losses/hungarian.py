@@ -63,7 +63,7 @@ def hungarian_match(
     # (scipy remains the test oracle; see ops/assignment.py).
     from ..ops.assignment import batched_lsa_assign
 
-    assigned = batched_lsa_assign(jax.lax.stop_gradient(cost))
+    assigned = batched_lsa_assign(jax.lax.stop_gradient(cost), gt_mask)
     return assigned
 
 

@@ -27,14 +27,21 @@ import jax.numpy as jnp
 INF = jnp.float32(1e30)
 
 
-def lsa_assign(cost: jnp.ndarray) -> jnp.ndarray:
+def lsa_assign(cost: jnp.ndarray, col_valid: "jnp.ndarray | None" = None) -> jnp.ndarray:
     """Exact minimum-cost assignment. cost: (Q, M) with Q ≥ M.
 
     Returns (M,) int32: the row assigned to each column. Matches scipy's
-    ``linear_sum_assignment`` up to cost ties.
+    ``linear_sum_assignment`` up to cost ties over the valid columns.
+
+    ``col_valid`` (M,) bool skips invalid (padded) columns entirely — they
+    get an arbitrary row (0) and must be masked downstream. The sweeps are
+    the sequential cost of this solver, so skipping padding cuts the DETR
+    matcher from max_boxes sweeps to #real-GT sweeps.
     """
     q, m = cost.shape
     cost = cost.astype(jnp.float32)
+    if col_valid is None:
+        col_valid = jnp.ones((m,), jnp.bool_)
 
     # Duals and matching. row_match[r] = column matched to row r, -1 if free.
     u = jnp.zeros((m,), jnp.float32)          # column potentials
@@ -42,6 +49,11 @@ def lsa_assign(cost: jnp.ndarray) -> jnp.ndarray:
     row_match = jnp.full((q,), -1, jnp.int32)
 
     def insert_column(col, carry):
+        return jax.lax.cond(
+            col_valid[col], _insert_column_impl, lambda c, s: s, col, carry
+        )
+
+    def _insert_column_impl(col, carry):
         u, v, row_match = carry
 
         # Dijkstra labels over rows.
@@ -119,6 +131,11 @@ def lsa_assign(cost: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def batched_lsa_assign(cost: jnp.ndarray) -> jnp.ndarray:
-    """(B, Q, M) → (B, M) assigned rows (exact, in-graph)."""
-    return jax.vmap(lsa_assign)(cost)
+def batched_lsa_assign(
+    cost: jnp.ndarray, col_valid: "jnp.ndarray | None" = None
+) -> jnp.ndarray:
+    """(B, Q, M) → (B, M) assigned rows (exact, in-graph). Optional
+    (B, M) column-validity mask skips padded columns."""
+    if col_valid is None:
+        return jax.vmap(lsa_assign)(cost)
+    return jax.vmap(lsa_assign)(cost, col_valid)
