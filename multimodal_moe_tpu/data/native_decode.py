@@ -17,6 +17,10 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "lib" / "libmmoe_jpeg.so"
+_SRC_PATH = _NATIVE_DIR / "jpeg_loader" / "jpeg_loader.cpp"
+# Must match mmoe_jpeg_version() in jpeg_loader.cpp; a mismatch (stale .so on
+# disk) triggers a rebuild so binaries can never silently lag the source.
+_EXPECTED_VERSION = 12
 
 _lib: "Optional[ctypes.CDLL]" = None
 _load_attempted = False
@@ -35,14 +39,28 @@ def _try_build() -> bool:
         return False
 
 
+def _is_stale() -> bool:
+    """True when the on-disk .so predates the source or reports an old
+    version — the library is never loaded stale."""
+    try:
+        if _SRC_PATH.exists() and _SRC_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime:
+            return True
+        probe = ctypes.CDLL(str(_LIB_PATH))
+        probe.mmoe_jpeg_version.restype = ctypes.c_int
+        return int(probe.mmoe_jpeg_version()) != _EXPECTED_VERSION
+    except (OSError, AttributeError):
+        return True
+
+
 def load_library() -> "Optional[ctypes.CDLL]":
     """Load (building if needed) the native decoder; None when unavailable."""
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    if not _LIB_PATH.exists() and not _try_build():
-        return None
+    if not _LIB_PATH.exists() or _is_stale():
+        if not _try_build() or _is_stale():
+            return None  # unbuildable or still stale: PIL fallback
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:

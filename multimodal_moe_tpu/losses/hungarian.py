@@ -91,7 +91,11 @@ def detr_loss(
         axis=-1,
     )
 
-    layers = outputs["aux_outputs"] + [
+    # Encoder query-selection head (top-k gathered) is matched as one more
+    # auxiliary layer — without it enc_score/enc_bbox get zero gradient and
+    # IoU-aware query selection never trains (RT-DETRv2 recipe).
+    enc_layer = outputs.get("enc_outputs")
+    layers = ([enc_layer] if enc_layer is not None else []) + outputs["aux_outputs"] + [
         {"pred_logits": outputs["pred_logits"], "pred_boxes": outputs["pred_boxes"]}
     ]
     # One batched matcher call for ALL decoder layers: the LSA solver's

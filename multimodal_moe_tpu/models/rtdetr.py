@@ -227,16 +227,19 @@ def build_denoising_queries(
     dn_ref = dn.reshape(b, d, 4)
     dn_is_pos = jnp.repeat(is_pos, m, total_repeat_length=d)          # (D,)
 
-    # Attention mask: queries within a dn group see only their group;
-    # matching queries never see dn queries; dn queries never see matching.
-    total = d + num_matching
+    # Attention mask (RT-DETRv2/DINO convention, asymmetric): matching
+    # queries never see dn queries and dn groups never see each other, but
+    # dn queries MAY attend to the matching queries.
     group_id = jnp.concatenate(
         [
             jnp.repeat(jnp.arange(num_groups), 2 * m, total_repeat_length=d),
             jnp.full((num_matching,), num_groups + 1),
         ]
     )
-    attn_mask = group_id[:, None] == group_id[None, :]                # (T, T)
+    is_match = group_id == num_groups + 1
+    attn_mask = (group_id[:, None] == group_id[None, :]) | (
+        (~is_match)[:, None] & is_match[None, :]
+    )                                                                 # (T, T)
     return dn_ref, dn_is_pos, attn_mask
 
 
@@ -327,6 +330,9 @@ class RTDETRDetector(nn.Module):
         scores = jnp.where(valid_mask[None], scores, -1e9)
         _, topk = jax.lax.top_k(scores, self.num_queries)
         ref_boxes = jnp.take_along_axis(enc_boxes, topk[..., None], axis=1)  # (B,Q,4)
+        enc_topk_logits = jnp.take_along_axis(
+            enc_logits.astype(jnp.float32), topk[..., None], axis=1
+        )                                                                    # (B,Q,nc)
         content = jnp.take_along_axis(memory, topk[..., None], axis=1)
         content = jax.lax.stop_gradient(content)
         ref_boxes_init = jax.lax.stop_gradient(ref_boxes)
@@ -374,26 +380,28 @@ class RTDETRDetector(nn.Module):
             ref_boxes_init = jnp.concatenate([dn_ref, ref_boxes_init], axis=1)
 
         # --- decoder with iterative refinement -------------------------------
+        # ``ref`` carried across layers is detached (RT-DETRv2 convention):
+        # each aux layer's box loss sees only its own delta through
+        # ``ref_out``; the carried value is re-detached every iteration.
         aux_outputs = []
         dn_outputs = []
-        ref = ref_boxes_init
+        ref = ref_boxes_init  # already stop_gradient'd (dn_ref is param-free)
         for li in range(self.num_decoder_layers):
             query_pos = MLP(
                 self.hidden_dim, self.hidden_dim, num_layers=2, dtype=self.dtype,
                 name=f"ref_embed{li}",
-            )(jax.lax.stop_gradient(ref).astype(self.dtype))
+            )(ref.astype(self.dtype))
             query = DecoderLayer(
                 dim=self.hidden_dim, num_heads=self.num_heads,
                 num_levels=len(feats), num_points=self.num_points,
                 dtype=self.dtype, name=f"decoder{li}",
-            )(query, query_pos, jax.lax.stop_gradient(ref), memory, level_shapes,
-              attn_mask=attn_mask)
+            )(query, query_pos, ref, memory, level_shapes, attn_mask=attn_mask)
 
             delta = MLP(
                 self.hidden_dim, 4, num_layers=3, dtype=self.dtype,
                 name=f"bbox_head{li}",
             )(query)
-            ref = jax.nn.sigmoid(
+            ref_out = jax.nn.sigmoid(
                 delta.astype(jnp.float32) + inverse_sigmoid(ref)
             )
             logits = nn.Dense(
@@ -403,16 +411,17 @@ class RTDETRDetector(nn.Module):
             aux_outputs.append(
                 {
                     "pred_logits": logits.astype(jnp.float32)[:, num_dn:],
-                    "pred_boxes": ref[:, num_dn:],
+                    "pred_boxes": ref_out[:, num_dn:],
                 }
             )
             if num_dn:
                 dn_outputs.append(
                     {
                         "pred_logits": logits.astype(jnp.float32)[:, :num_dn],
-                        "pred_boxes": ref[:, :num_dn],
+                        "pred_boxes": ref_out[:, :num_dn],
                     }
                 )
+            ref = jax.lax.stop_gradient(ref_out)
 
         final = aux_outputs[-1]
         scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
@@ -425,7 +434,13 @@ class RTDETRDetector(nn.Module):
             "pred_logits": final["pred_logits"],
             "pred_boxes": final["pred_boxes"],
             "aux_outputs": aux_outputs[:-1],
-            "enc_outputs": {"pred_logits": enc_logits.astype(jnp.float32), "pred_boxes": enc_boxes},
+            # Encoder query-selection aux head: the top-k-gathered logits and
+            # (undetached) boxes are matched as an extra loss layer so
+            # enc_score/enc_bbox receive gradient (RT-DETRv2 recipe).
+            "enc_outputs": {
+                "pred_logits": enc_topk_logits,
+                "pred_boxes": ref_boxes,
+            },
             "boxes": boxes_xyxy,                    # (B, Q, 4) xyxy pixels
             "cls_logits": final["pred_logits"],     # evaluator interface
         }

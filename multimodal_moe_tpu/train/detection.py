@@ -222,6 +222,21 @@ class DetectionTrainer:
             epoch_metrics: "Dict[str, list]" = {}
             from ..data.pipeline import prefetch_to_device
 
+            # Device→host metric fetches are synchronization points; batch
+            # them every ``log_every`` steps instead of per step so training
+            # on a healthy host isn't serialized by the logging. (log_every=1
+            # restores per-step sync — useful on the tunneled runtime where
+            # deep device queues poison interleaved H2D transfers.)
+            fetch_every = max(1, int(log_every))
+            pending: "list[Dict]" = []
+
+            def _flush():
+                for md in pending:
+                    host = jax.device_get(md)
+                    for k, v in host.items():
+                        epoch_metrics.setdefault(k, []).append(float(v))
+                pending.clear()
+
             for batch in prefetch_to_device(
                 iter(train_loader), sharding=batch_sharding(self.mesh)
             ):
@@ -231,8 +246,10 @@ class DetectionTrainer:
                     if k in ("image", "gt_boxes", "gt_labels", "gt_mask", "solar_bin")
                 }
                 state, metrics = self.train_step(state, batch)
-                for k, v in metrics.items():
-                    epoch_metrics.setdefault(k, []).append(float(v))
+                pending.append(metrics)
+                if len(pending) >= fetch_every:
+                    _flush()
+            _flush()
 
             row = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
             row["epoch"] = epoch

@@ -175,18 +175,22 @@ int decode_one_yuv420(const uint8_t* data, size_t len, uint8_t* y_out,
 
   const int ch = h / 2, cw = w / 2;
   // libjpeg hands raw data in MCU-row chunks of 16 luma rows (8 chroma).
+  // Rows past the true image height receive MCU padding from
+  // jpeg_read_raw_data; they must land in a scratch row, NOT alias the last
+  // real row (which would corrupt it for heights not a multiple of 16).
+  std::vector<uint8_t> scratch(static_cast<size_t>(w));
   JSAMPROW y_rows[16], cb_rows[8], cr_rows[8];
   JSAMPARRAY planes[3] = {y_rows, cb_rows, cr_rows};
   int y_done = 0, c_done = 0;
   while (cinfo.output_scanline < cinfo.output_height) {
     for (int r = 0; r < 16; ++r) {
       int yy = y_done + r;
-      y_rows[r] = y_out + static_cast<size_t>(yy < h ? yy : h - 1) * w;
+      y_rows[r] = yy < h ? y_out + static_cast<size_t>(yy) * w : scratch.data();
     }
     for (int r = 0; r < 8; ++r) {
       int cy = c_done + r;
-      cb_rows[r] = cb_out + static_cast<size_t>(cy < ch ? cy : ch - 1) * cw;
-      cr_rows[r] = cr_out + static_cast<size_t>(cy < ch ? cy : ch - 1) * cw;
+      cb_rows[r] = cy < ch ? cb_out + static_cast<size_t>(cy) * cw : scratch.data();
+      cr_rows[r] = cy < ch ? cr_out + static_cast<size_t>(cy) * cw : scratch.data();
     }
     JDIMENSION got = jpeg_read_raw_data(&cinfo, planes, 16);
     if (got == 0) break;
@@ -272,6 +276,6 @@ int mmoe_decode_files_yuv420(const char** paths, int n, uint8_t* y_out,
 }
 
 // Version/capability probe.
-int mmoe_jpeg_version() { return 11; }
+int mmoe_jpeg_version() { return 12; }
 
 }  // extern "C"

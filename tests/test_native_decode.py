@@ -83,6 +83,25 @@ class TestYuv420Decode:
         assert diff.mean() < 2.0
         assert np.quantile(diff, 0.99) < 16.0
 
+    def test_non_mcu_aligned_height_last_rows(self, tmp_path):
+        # Regression (round-1 advisor): heights not a multiple of 16 used to
+        # alias MCU-padding rows onto the last real luma/chroma rows. The
+        # last rows must match PIL's luma exactly.
+        from PIL import Image
+
+        h, w = 56, 128  # 56 % 16 == 8 → padding rows exist in the last MCU
+        p = _make_jpeg(tmp_path, "odd.jpg", size=(w, h))
+        out = decode_jpeg_bytes_yuv420(p.read_bytes(), h, w)
+        assert out is not None
+        y, cb, cr = out
+        # PIL draft mode decodes JPEG natively as YCbCr: its luma plane is
+        # bit-exact libjpeg output (convert("YCbCr") without draft would
+        # round-trip through RGB and differ everywhere).
+        img = Image.open(p)
+        img.draft("YCbCr", img.size)
+        ycc = np.asarray(img.convert("YCbCr"))
+        np.testing.assert_array_equal(y, ycc[..., 0])
+
     def test_non_420_returns_none(self, tmp_path):
         p = _make_jpeg(tmp_path, "s444.jpg", subsampling=0)  # 4:4:4
         assert decode_jpeg_bytes_yuv420(p.read_bytes(), H, W) is None

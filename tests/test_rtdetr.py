@@ -219,3 +219,33 @@ class TestRTDETR:
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         nonzero = sum(float(jnp.abs(l).sum()) > 0 for l in leaves)
         assert nonzero > len(leaves) * 0.5  # most params receive gradient
+
+        # Regression (round-1 advisor, high): the encoder query-selection
+        # heads must receive gradient via the enc_outputs aux loss layer —
+        # without it IoU-aware top-k selection scores with a frozen random
+        # projection forever.
+        for head in ("enc_score", "enc_bbox"):
+            g = sum(
+                float(jnp.abs(l).sum()) for l in jax.tree.leaves(grads[head])
+            )
+            assert g > 0, f"{head} received zero gradient"
+
+    def test_cdn_mask_asymmetric(self):
+        from multimodal_moe_tpu.models.rtdetr import build_denoising_queries
+
+        gt = jnp.full((1, 3, 4), 0.5)
+        mask_gt = jnp.ones((1, 3), bool)
+        _, _, attn = build_denoising_queries(
+            jax.random.PRNGKey(0), gt, mask_gt, num_groups=2, num_matching=5
+        )
+        d = 2 * 2 * 3
+        attn = np.asarray(attn)
+        # matching → dn blocked
+        assert not attn[d:, :d].any()
+        # dn → matching allowed (RT-DETRv2/DINO asymmetry)
+        assert attn[:d, d:].all()
+        # cross-group dn blocked, within-group allowed
+        assert attn[: 2 * 3, : 2 * 3].all()
+        assert not attn[: 2 * 3, 2 * 3 : d].any()
+        # matching sees matching
+        assert attn[d:, d:].all()
