@@ -51,6 +51,37 @@ def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
     return infer
 
 
+def model_flops_g(model, variables, img_h: int, img_w: int) -> "float | None":
+    """Analytical forward FLOPs in GFLOPs for one image, from XLA's cost
+    analysis of the lowered forward graph. First-party replacement for the
+    reference's best-effort thop/Ultralytics FLOPs reporting
+    (ref: src/models/vision/yolo.py:98-125). Returns None when the analysis
+    is unavailable (never raises — FLOPs are best-effort metadata)."""
+    try:
+        def fwd(variables, images):
+            return model.apply(variables, images, train=False)
+
+        dummy = jnp.zeros((1, img_h, img_w, 3), jnp.float32)
+        cost = jax.jit(fwd).lower(variables, dummy).cost_analysis()
+        if cost is None:
+            # Some PJRT backends (the tunneled TPU runtime among them) do
+            # not implement cost analysis; re-lower abstractly on the host
+            # CPU backend — FLOPs are backend-independent.
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+                variables,
+            )
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                cost = jax.jit(fwd).lower(abstract, dummy).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops / 1e9 if flops > 0 else None
+    except Exception:
+        return None
+
+
 import functools
 
 

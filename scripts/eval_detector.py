@@ -141,7 +141,9 @@ def main() -> None:
     )
     metrics = add_derived_speed_metrics(metrics)
     metrics["params_total"] = count_params(params)
-    metrics["flops_g"] = None
+    from multimodal_moe_tpu.train.evaluator import model_flops_g
+
+    metrics["flops_g"] = model_flops_g(model, variables, args.img_h, args.img_w)
 
     out_dir = Path(paths.EVAL_DIR) / args.backend / args.run_name
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -49,6 +49,15 @@ def parse_args() -> argparse.Namespace:
 
 def main() -> None:
     args = parse_args()
+
+    # Multi-host entry: no-op single-host (SURVEY.md §5.8 TPU-native design).
+    from multimodal_moe_tpu.parallel.distributed import (
+        loader_shard,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+    proc_idx, proc_count = loader_shard()
     from multimodal_moe_tpu.data.pipeline import (
         DetectionLoader,
         ZODMoEDataConfig,
@@ -84,6 +93,7 @@ def main() -> None:
     train_loader = DetectionLoader(
         make_ds("train"), batch_size=args.batch, shuffle=True,
         seed=args.seed, num_workers=args.workers,
+        process_index=proc_idx, process_count=proc_count,
     )
     val_loader = DetectionLoader(
         make_ds("val"), batch_size=args.batch, drop_last=False,

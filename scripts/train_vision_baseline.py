@@ -40,6 +40,15 @@ def parse_args() -> argparse.Namespace:
 
 def main() -> None:
     args = parse_args()
+
+    # Multi-host entry: no-op single-host (SURVEY.md §5.8 TPU-native design).
+    from multimodal_moe_tpu.parallel.distributed import (
+        loader_shard,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+    proc_idx, proc_count = loader_shard()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -69,6 +78,7 @@ def main() -> None:
 
     loader = DetectionLoader(
         ds, batch_size=args.batch, shuffle=True, seed=args.seed,
+        process_index=proc_idx, process_count=proc_count,
         num_workers=args.workers, drop_last=True,
     )
 

@@ -61,6 +61,16 @@ def main() -> None:
     args = parse_args()
     variant = args.model.split("-")[-1]
 
+    # Multi-host entry: no-op single-host; on a pod every host runs this CLI
+    # and shards the train loader below (SURVEY.md §5.8 TPU-native design).
+    from multimodal_moe_tpu.parallel.distributed import (
+        loader_shard,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+    proc_idx, proc_count = loader_shard()
+
     from multimodal_moe_tpu.data.pipeline import (
         DetectionLoader,
         ZODMoEDataConfig,
@@ -110,6 +120,7 @@ def main() -> None:
     train_loader = DetectionLoader(
         make_ds("train"), batch_size=args.batch, shuffle=True,
         seed=args.seed, num_workers=args.workers,
+        process_index=proc_idx, process_count=proc_count,
     )
     val_loader = DetectionLoader(
         make_ds("val"), batch_size=args.batch, drop_last=False,

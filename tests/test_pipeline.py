@@ -131,3 +131,31 @@ class TestPrefetch:
         assert img.shape == (8, 64, 128, 3)
         # sharded over the data axis: 8 shards, one per device
         assert len(img.sharding.device_set) == 8
+
+
+class TestDistributedEntry:
+    def test_single_host_noop(self, monkeypatch):
+        from multimodal_moe_tpu.parallel import distributed
+
+        for var in (
+            "MMOE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+            "MMOE_NUM_PROCESSES", "JAX_NUM_PROCESSES",
+        ):
+            monkeypatch.delenv(var, raising=False)
+        assert distributed.maybe_initialize_distributed() is False
+        assert distributed.loader_shard() == (0, 1)
+
+    def test_multi_host_env_detected(self, monkeypatch):
+        # With a coordinator address set, the entry must attempt real
+        # initialization (we don't run a second process here — the call
+        # failing to connect/validate is the expected signal).
+        from multimodal_moe_tpu.parallel import distributed
+
+        monkeypatch.setattr(distributed, "_initialized", False)
+        monkeypatch.setenv("MMOE_COORDINATOR_ADDRESS", "127.0.0.1:1")
+        monkeypatch.setenv("MMOE_NUM_PROCESSES", "2")
+        monkeypatch.setenv("MMOE_PROCESS_ID", "1")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            distributed.maybe_initialize_distributed()
