@@ -207,7 +207,10 @@ class DetectionLoader:
         if not self.drop_last and len(idx) % bs:
             batches.append(idx[n_full * bs :])
 
-        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+        # workers=0 is the torch-style "load in-process" request; a single
+        # worker thread with the one-batch-ahead pipeline below is the
+        # closest equivalent (ThreadPoolExecutor rejects max_workers=0).
+        with concurrent.futures.ThreadPoolExecutor(max(1, self.num_workers)) as pool:
             # Pipeline: submit decode jobs one batch ahead.
             pending = collections.deque()
             batch_iter = iter(batches)

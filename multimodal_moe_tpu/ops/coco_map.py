@@ -91,9 +91,11 @@ def match_image(
     det_scores = det_scores[order]
     d = det_boxes.shape[0]
 
-    gt_area = np.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 0, None) * np.clip(
-        gt_boxes[:, 3] - gt_boxes[:, 1], 0, None
-    )
+    # Signed w*h, not clipped: pycocotools classifies by ann["area"] = w*h as
+    # given, so a degenerate (inverted) box has negative area and falls
+    # outside every range — ignored everywhere, never an FP. (Differential
+    # finding from tests/test_coco_map_parity.py.)
+    gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
     gt_ignore = (gt_area < area_range[0]) | (gt_area > area_range[1])
     # GTs sorted un-ignored first (pycocotools sorts by ignore flag).
     gt_order = np.argsort(gt_ignore, kind="stable")
@@ -102,9 +104,8 @@ def match_image(
     g = gt_boxes.shape[0]
 
     ious = _np_pairwise_iou(det_boxes, gt_boxes)
-    det_area = np.clip(det_boxes[:, 2] - det_boxes[:, 0], 0, None) * np.clip(
-        det_boxes[:, 3] - det_boxes[:, 1], 0, None
-    )
+    # Signed area here too (see gt_area note above).
+    det_area = (det_boxes[:, 2] - det_boxes[:, 0]) * (det_boxes[:, 3] - det_boxes[:, 1])
     det_outside = (det_area < area_range[0]) | (det_area > area_range[1])
 
     t = len(iou_thresholds)
