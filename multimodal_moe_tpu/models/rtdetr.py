@@ -80,10 +80,22 @@ class HybridEncoder(nn.Module):
     num_heads: int = 8
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    # "tpu": CCFF fusion stages are full-width PlainStages — CSP's
+    # half-width split runs the /8 stage at ~6 TF/s on v5e (36 ms encoder
+    # fwd at B4); full-width 3×3 convs run 46-96 TF/s. "csp" for ablation.
+    arch: str = "tpu"
 
     @nn.compact
     def __call__(self, feats: "List[jnp.ndarray]", train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        if self.arch == "tpu":
+            from .layers import PlainStage
+
+            def fuse(name):
+                return PlainStage(self.hidden_dim, 2, shortcut=False, **kw, name=name)
+        else:
+            def fuse(name):
+                return CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name=name)
         # 1×1 input projections to the common width.
         proj = [
             ConvBNAct(self.hidden_dim, 1, act=False, **kw, name=f"in_proj{i}")(f, train)
@@ -103,19 +115,19 @@ class HybridEncoder(nn.Module):
         # CCFF: top-down then bottom-up.
         from .layers import upsample2x
 
-        td4 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="td4")(
+        td4 = fuse("td4")(
             jnp.concatenate([upsample2x(p5), proj[1]], -1), train
         )
-        td3 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="td3")(
+        td3 = fuse("td3")(
             jnp.concatenate([upsample2x(td4), proj[0]], -1), train
         )
-        bu4 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="bu4")(
+        bu4 = fuse("bu4")(
             jnp.concatenate(
                 [ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down3")(td3, train), td4], -1
             ),
             train,
         )
-        bu5 = CSPStage(self.hidden_dim, 3, shortcut=False, **kw, name="bu5")(
+        bu5 = fuse("bu5")(
             jnp.concatenate(
                 [ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down4")(bu4, train), p5], -1
             ),
@@ -303,6 +315,7 @@ class RTDETRDetector(nn.Module):
     num_points: int = 4
     num_denoising_groups: int = 2  # CDN groups; 0 disables denoising
     backbone_depths: "Tuple[int, ...]" = (3, 4, 6, 3)  # r50
+    arch: str = "tpu"  # CCFF fusion-stage family ("tpu" | "csp")
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
 
@@ -324,7 +337,8 @@ class RTDETRDetector(nn.Module):
         c2, c3, c4, c5 = backbone(images, train)
         feats = HybridEncoder(
             hidden_dim=self.hidden_dim, num_heads=self.num_heads,
-            dtype=self.dtype, axis_name=self.axis_name, name="encoder",
+            dtype=self.dtype, axis_name=self.axis_name, arch=self.arch,
+            name="encoder",
         )([c3, c4, c5], train)
 
         level_shapes = [(f.shape[1], f.shape[2]) for f in feats]

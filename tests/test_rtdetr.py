@@ -156,6 +156,23 @@ class TestRTDETR:
         bx = np.asarray(out["boxes"])
         assert (bx[..., 2] >= bx[..., 0]).all()
 
+    def test_csp_arch_ablation_forward(self):
+        # arch="csp" keeps the round-1 CCFF fusion stages buildable
+        from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+        model = RTDETRDetector(
+            num_classes=1, hidden_dim=64, num_queries=8,
+            num_decoder_layers=1, num_heads=4,
+            backbone_depths=(1, 1, 1, 1), arch="csp",
+        )
+        variables = jax.jit(
+            lambda r: model.init(r, jnp.zeros((1, 64, 128, 3)), train=False)
+        )(jax.random.PRNGKey(0))
+        out = model.apply(variables, jnp.zeros((1, 64, 128, 3)), train=False)
+        assert out["pred_logits"].shape == (1, 8, 1)
+        # the two archs produce different fusion-stage parameter trees
+        assert "td3" in variables["params"]["encoder"]
+
     def test_denoising_branch(self, tiny):
         from multimodal_moe_tpu.models.rtdetr import rtdetr_loss
 
