@@ -88,10 +88,10 @@ def _fwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
     def body(qi, carry):
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), 0, :]
-            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), 0, :]
+            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), :]
+            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), :]
         wrow = w_ref[0, qi, :].reshape(1, 4 * lp)
-        out_ref[0, qi, 0, :] = lax.dot_general(
+        out_ref[0, qi, :] = lax.dot_general(
             wrow, scratch[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
@@ -108,9 +108,9 @@ def _bwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, g_ref,
     def body(qi, carry):
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), 0, :]
-            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), 0, :]
-        grow = g_ref[0, qi, 0, :].reshape(1, d)
+            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), :]
+            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), :]
+        grow = g_ref[0, qi, :].reshape(1, d)
         s_ref[0, qi, :] = lax.dot_general(
             grow, scratch[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -124,12 +124,12 @@ def _bwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, g_ref,
         )
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            dv_ref[0, pl.ds(b, 2), 0, :] = (
-                dv_ref[0, pl.ds(b, 2), 0, :] + contrib[4 * j : 4 * j + 2, :]
+            dv_ref[0, pl.ds(b, 2), :] = (
+                dv_ref[0, pl.ds(b, 2), :] + contrib[4 * j : 4 * j + 2, :]
             )
             bw = b + level_ws[j]
-            dv_ref[0, pl.ds(bw, 2), 0, :] = (
-                dv_ref[0, pl.ds(bw, 2), 0, :] + contrib[4 * j + 2 : 4 * j + 4, :]
+            dv_ref[0, pl.ds(bw, 2), :] = (
+                dv_ref[0, pl.ds(bw, 2), :] + contrib[4 * j + 2 : 4 * j + 4, :]
             )
         return carry
 
@@ -159,9 +159,11 @@ def _prep(values, level_shapes, loc, attn):
         .reshape(b * nh, q, 4 * lp).astype(jnp.float32)
     )
     idx = base.reshape(b, q, nh, lp).transpose(0, 2, 1, 3).reshape(b * nh, q, lp)
-    # values stay in their natural (B, total, NH, D) layout — the kernels
-    # slice per-head blocks via strided BlockSpecs, so no 74 MB transpose.
-    return values.astype(jnp.float32), idx, w4
+    values_t = (
+        values.astype(jnp.float32).transpose(0, 2, 1, 3)
+        .reshape(b * nh, values.shape[1], values.shape[3])
+    )
+    return values_t, idx, w4
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
@@ -193,10 +195,10 @@ def _fwd_rule(values, level_shapes, loc, attn, interpret):
             pl.BlockSpec((1, q, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, total, 1, d), lambda i, nh=nh: (i // nh, 0, i % nh, 0)),
+            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, q, 1, d), lambda i, nh=nh: (i // nh, 0, i % nh, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, q, nh, d), jnp.float32),
+        out_specs=pl.BlockSpec((1, q, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * nh, q, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4 * lp, d), jnp.float32)],
         # the (total, D=32) slab lane-pads to 128 → 4× VMEM; v5e has 128 MiB
         # physical VMEM, the default 16 MiB scoped limit is just conservative
@@ -205,43 +207,49 @@ def _fwd_rule(values, level_shapes, loc, attn, interpret):
     )(idx, w4, values_t)
 
     res = (values_t, idx, w4, loc, attn, jnp.zeros((), values.dtype))
-    return out.reshape(b, q, nh * d).astype(values.dtype), res
+    out = out.reshape(b, nh, q, d).transpose(0, 2, 1, 3).reshape(b, q, nh * d)
+    return out.astype(values.dtype), res
 
 
 def _bwd_rule(level_shapes, interpret, res, g):
     if interpret is None:
         interpret = _interpret_default()
     values_t, idx, w4, loc, attn, vtoken = res
-    _, total, nh, d = values_t.shape
-    b, q, _, l, p = attn.shape
+    bnh, total, d = values_t.shape
+    b, q, nh, l, p = attn.shape
     lp = l * p
     level_shapes = tuple(tuple(int(v) for v in s) for s in level_shapes)
-    g_t = g.reshape(b, q, nh, d).astype(jnp.float32)
+    g_t = (
+        g.reshape(b, q, nh, d).transpose(0, 2, 1, 3)
+        .reshape(bnh, q, d).astype(jnp.float32)
+    )
 
     dv_t, s = pl.pallas_call(
         functools.partial(_bwd_kernel, _level_ws(level_shapes, p), lp, d, q),
-        grid=(b * nh,),
+        grid=(bnh,),
         in_specs=[
             pl.BlockSpec((1, q, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, total, 1, d), lambda i, nh=nh: (i // nh, 0, i % nh, 0)),
-            pl.BlockSpec((1, q, 1, d), lambda i, nh=nh: (i // nh, 0, i % nh, 0)),
+            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, q, d), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, total, 1, d), lambda i, nh=nh: (i // nh, 0, i % nh, 0)),
+            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, total, nh, d), jnp.float32),
-            jax.ShapeDtypeStruct((b * nh, q, 4 * lp), jnp.float32),
+            jax.ShapeDtypeStruct((bnh, total, d), jnp.float32),
+            jax.ShapeDtypeStruct((bnh, q, 4 * lp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((4 * lp, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx, w4, values_t, g_t)
 
-    dv = dv_t.astype(vtoken.dtype)
+    dv = (
+        dv_t.reshape(b, nh, total, d).transpose(0, 2, 1, 3).astype(vtoken.dtype)
+    )
 
     # --- d(attention), d(loc): elementwise from the per-slot sums ---------
     _, wslot, geom = _slot_weights(level_shapes, loc)
