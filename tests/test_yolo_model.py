@@ -191,3 +191,25 @@ class TestLoss:
         )
         assert np.isfinite(float(total))
         assert float(metrics["num_fg"]) == 0
+
+
+def test_space_to_depth_matches_transpose_formulation():
+    """The strided-slice s2d (TPU layout-copy fix) must stay bit-identical
+    to the classic reshape/transpose/reshape with (dy, dx, c) channels."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from multimodal_moe_tpu.models.layers import space_to_depth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 3)).astype(np.float32))
+    r = 4
+    b, h, w, c = x.shape
+    ref = (
+        x.reshape(b, h // r, r, w // r, r, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // r, w // r, r * r * c)
+    )
+    got = space_to_depth(x, r)
+    assert got.shape == ref.shape
+    assert float(jnp.max(jnp.abs(got - ref))) == 0.0
