@@ -418,7 +418,11 @@ class MoEFFN(nn.Module):
     use_pallas_ffn: bool = False
 
     _DENSE_TOKEN_LIMIT = 4096
-    _SWEEP_EXPERT_LIMIT = 8
+    # Measured on v5e (T=109,824, D=128, fwd+bwd): sweep 12.8/13.4/14.0 ms
+    # at E=4/8/16 vs sparse 18.9/18.6/20.6 and gmm 21.3/21.0/22.0 — the
+    # sweep is bandwidth- not FLOP-dominated at detector widths, so it
+    # wins well past the naive FLOP crossover.
+    _SWEEP_EXPERT_LIMIT = 16
 
     @nn.compact
     def __call__(
