@@ -49,3 +49,19 @@ class TestThirdPartyShimMapping:
         mode, mapped = _map_args(["--use-amp", "--no-use-amp", "--seed", "0"])
         assert mode == "train"
         assert mapped == ["--seed", "0"]
+
+
+def test_analyze_moe_routing_help():
+    """The routing-analysis CLI parses (smoke; full run needs a trained
+    checkpoint — exercised end-to-end against the sanity run on-chip)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    scripts = Path(__file__).resolve().parents[1] / "scripts"
+    out = subprocess.run(
+        [sys.executable, str(scripts / "analyze_moe_routing.py"), "--help"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0
+    assert "routing" in out.stdout.lower() or "context" in out.stdout.lower()
