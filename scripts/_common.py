@@ -17,3 +17,15 @@ if _platform:
     import jax
 
     jax.config.update("jax_platforms", _platform)
+
+# Persistent XLA compile cache: large detector graphs take minutes to compile
+# on a slow host; cached executables make reruns/resumes start in seconds.
+# MMOE_XLA_CACHE='' disables.
+_xla_cache = os.environ.get("MMOE_XLA_CACHE", "~/.cache/mmoe/xla_cache")
+if _xla_cache:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path(_xla_cache).expanduser())
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

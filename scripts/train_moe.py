@@ -46,6 +46,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-boxes", type=int, default=96)
+    p.add_argument(
+        "--resident",
+        action="store_true",
+        help="Device-resident dataset (HBM-parked YUV420 planes, in-graph "
+        "batch gather) — see data/resident.py.",
+    )
     return p.parse_args()
 
 
@@ -93,17 +99,26 @@ def main() -> None:
             )
         )
 
-    train_loader = DetectionLoader(
-        make_ds("train"), batch_size=args.batch, shuffle=True,
-        seed=args.seed, num_workers=args.workers,
-        process_index=proc_idx, process_count=proc_count,
-    )
-    val_loader = DetectionLoader(
-        make_ds("val"), batch_size=args.batch, drop_last=False,
-        num_workers=args.workers,
-    )
+    from multimodal_moe_tpu.parallel.mesh import batch_sharding
 
     mesh = create_mesh(num_expert=args.expert_parallel)
+    loader_kw = {}
+    if args.resident:
+        from multimodal_moe_tpu.data.resident import ResidentDetectionLoader as _Loader
+
+        loader_kw["sharding"] = batch_sharding(mesh)
+    else:
+        _Loader = DetectionLoader
+    train_loader = _Loader(
+        make_ds("train"), batch_size=args.batch, shuffle=True,
+        seed=args.seed, num_workers=args.workers,
+        process_index=proc_idx, process_count=proc_count, **loader_kw,
+    )
+    val_loader = _Loader(
+        make_ds("val"), batch_size=args.batch, drop_last=False,
+        num_workers=args.workers, **loader_kw,
+    )
+
     model = MoEYoloDetector(
         num_classes=1,
         variant=args.variant,
@@ -139,6 +154,20 @@ def main() -> None:
     )
     wall = time.perf_counter() - t0
 
+    # Record the *effective* dispatch per MoE level: "auto" thresholds are
+    # measured crossovers that may move between versions, and eval numerics
+    # differ across modes (capacity-sparse drops tokens, sweep/gmm are
+    # dropless) — old-vs-new comparisons must see which mode actually ran.
+    from multimodal_moe_tpu.models.moe import resolve_dispatch
+
+    effective = {
+        f"P{3 + i}": resolve_dispatch(
+            "auto",
+            args.batch * (args.img_h // s) * (args.img_w // s),
+            args.num_experts,
+        )
+        for i, s in enumerate((8, 16, 32))
+    }
     (run_dir / "model_config.json").write_text(
         json.dumps(
             {
@@ -150,6 +179,8 @@ def main() -> None:
                 "optimizer": "sgd",
                 "img_h": args.img_h,
                 "img_w": args.img_w,
+                "dispatch": "auto",
+                "effective_dispatch_at_train_batch": effective,
             },
             indent=2,
         )

@@ -44,6 +44,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-boxes", type=int, default=96)
+    p.add_argument(
+        "--resident",
+        action="store_true",
+        help="Device-resident dataset (HBM-parked YUV420 planes, in-graph "
+        "batch gather) — see data/resident.py.",
+    )
     return p.parse_args()
 
 
@@ -90,14 +96,24 @@ def main() -> None:
             )
         )
 
-    train_loader = DetectionLoader(
+    from multimodal_moe_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    mesh = create_mesh()
+    loader_kw = {}
+    if args.resident:
+        from multimodal_moe_tpu.data.resident import ResidentDetectionLoader as _Loader
+
+        loader_kw["sharding"] = batch_sharding(mesh)
+    else:
+        _Loader = DetectionLoader
+    train_loader = _Loader(
         make_ds("train"), batch_size=args.batch, shuffle=True,
         seed=args.seed, num_workers=args.workers,
-        process_index=proc_idx, process_count=proc_count,
+        process_index=proc_idx, process_count=proc_count, **loader_kw,
     )
-    val_loader = DetectionLoader(
+    val_loader = _Loader(
         make_ds("val"), batch_size=args.batch, drop_last=False,
-        num_workers=args.workers,
+        num_workers=args.workers, **loader_kw,
     )
 
     model = RTDETRDetector(
@@ -122,7 +138,7 @@ def main() -> None:
     )
     loss_fn = functools.partial(rtdetr_loss, img_hw=(args.img_h, args.img_w))
     trainer = DetectionTrainer(
-        model, cfg, loss_fn=loss_fn, steps_per_epoch=len(train_loader)
+        model, cfg, loss_fn=loss_fn, mesh=mesh, steps_per_epoch=len(train_loader)
     )
 
     def val_fn(state):

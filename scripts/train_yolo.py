@@ -54,6 +54,13 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-boxes", type=int, default=96)
     p.add_argument("--eval-every", type=int, default=1, help="Val every N epochs.")
+    p.add_argument(
+        "--resident",
+        action="store_true",
+        help="Park the dataset in device HBM once (YUV420 planes) and gather "
+        "batches in-graph — removes all per-epoch host decode + H2D traffic "
+        "(data/resident.py; requires a pre-resized corpus).",
+    )
     return p.parse_args()
 
 
@@ -117,15 +124,32 @@ def main() -> None:
             )
         )
 
-    train_loader = DetectionLoader(
-        make_ds("train"), batch_size=args.batch, shuffle=True,
-        seed=args.seed, num_workers=args.workers,
-        process_index=proc_idx, process_count=proc_count,
-    )
-    val_loader = DetectionLoader(
-        make_ds("val"), batch_size=args.batch, drop_last=False,
-        num_workers=args.workers,
-    )
+    from multimodal_moe_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    mesh = create_mesh()
+    if args.resident:
+        from multimodal_moe_tpu.data.resident import ResidentDetectionLoader
+
+        train_loader = ResidentDetectionLoader(
+            make_ds("train"), batch_size=args.batch, shuffle=True,
+            seed=args.seed, num_workers=args.workers,
+            process_index=proc_idx, process_count=proc_count,
+            sharding=batch_sharding(mesh),
+        )
+        val_loader = ResidentDetectionLoader(
+            make_ds("val"), batch_size=args.batch, drop_last=False,
+            num_workers=args.workers, sharding=batch_sharding(mesh),
+        )
+    else:
+        train_loader = DetectionLoader(
+            make_ds("train"), batch_size=args.batch, shuffle=True,
+            seed=args.seed, num_workers=args.workers,
+            process_index=proc_idx, process_count=proc_count,
+        )
+        val_loader = DetectionLoader(
+            make_ds("val"), batch_size=args.batch, drop_last=False,
+            num_workers=args.workers,
+        )
 
     model = YoloDetector(num_classes=1, variant=variant)
     cfg = DetTrainConfig(
@@ -140,7 +164,7 @@ def main() -> None:
         lrf=args.lrf,
         optimizer=args.optimizer,
     )
-    trainer = DetectionTrainer(model, cfg, steps_per_epoch=len(train_loader))
+    trainer = DetectionTrainer(model, cfg, mesh=mesh, steps_per_epoch=len(train_loader))
 
     def val_fn(state):
         variables = {"params": state.ema_params}
