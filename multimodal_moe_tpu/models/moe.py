@@ -332,6 +332,22 @@ def moe_apply_sweep(
     return jnp.einsum("etd,te->td", out_e, comb.astype(dtype))
 
 
+def resolve_dispatch(dispatch: str, num_tokens: int, num_experts: int) -> str:
+    """Resolve ``dispatch="auto"`` to the concrete mode MoEFFN will run.
+
+    Exposed so run metadata can record the *effective* dispatch (the auto
+    thresholds are measured crossovers and may move between versions —
+    checkpoint evals must not compare numerics across silently different
+    modes; see docs/performance.md round-2 table)."""
+    if dispatch != "auto":
+        return dispatch
+    if num_tokens <= MoEFFN._DENSE_TOKEN_LIMIT:
+        return "dense"
+    if num_experts <= MoEFFN._SWEEP_EXPERT_LIMIT:
+        return "sweep"
+    return "sparse"
+
+
 class ContextGate(nn.Module):
     """The gate itself: token·W + context_embed[bin] in fp32 (ref notes :77-87)."""
 
@@ -447,14 +463,7 @@ class MoEFFN(nn.Module):
         )
         b2 = self.param("experts_b2", nn.initializers.zeros, (e, 1, d), jnp.float32)
 
-        mode = self.dispatch
-        if mode == "auto":
-            if t <= self._DENSE_TOKEN_LIMIT:
-                mode = "dense"
-            elif e <= self._SWEEP_EXPERT_LIMIT:
-                mode = "sweep"
-            else:
-                mode = "sparse"
+        mode = resolve_dispatch(self.dispatch, t, e)
 
         x = tokens.astype(self.dtype)
         if mode in ("gmm", "sweep"):

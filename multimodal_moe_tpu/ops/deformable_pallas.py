@@ -185,6 +185,13 @@ def _fwd_rule(values, level_shapes, loc, attn, interpret):
     b, total, nh, d = values.shape
     _, q, _, l, p = attn.shape
     level_shapes = tuple(tuple(int(v) for v in s) for s in level_shapes)
+    # _slot_weights clips corner indices to [0, dim-2]; a 1-px level would
+    # invert the clip bounds and silently produce negative base indices.
+    for h_l, w_l in level_shapes:
+        if h_l < 2 or w_l < 2:
+            raise ValueError(
+                f"deformable kernel requires every level >= 2x2, got {level_shapes}"
+            )
     lp = l * p
     values_t, idx, w4 = _prep(values, level_shapes, loc, attn)
 
