@@ -50,6 +50,7 @@ def _single_image_nms(
     max_det: int,
     num_candidates: int,
     class_agnostic: bool,
+    topk_mode: str = "exact",
 ) -> NmsResult:
     from .boxes import pairwise_iou
 
@@ -57,7 +58,18 @@ def _single_image_nms(
     k = min(num_candidates, n)
 
     masked_scores = jnp.where(scores > score_threshold, scores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    if topk_mode == "approx":
+        # TPU-native tiled approximate top-k (aggregate_to_topk folds the
+        # per-tile partial results to exactly k). With recall_target 0.99
+        # over a k=512-1024 pool feeding max_det=300, any misses sit in the
+        # score tail NMS would almost surely suppress anyway — the serving
+        # fidelity knob, like the num_candidates pool itself
+        # (docs/performance.md). Eval keeps the exact sort-based path.
+        top_scores, top_idx = jax.lax.approx_max_k(
+            masked_scores, k, recall_target=0.99, aggregate_to_topk=True
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked_scores, k)
     top_boxes = boxes[top_idx]
     top_classes = classes[top_idx]
 
@@ -102,6 +114,7 @@ def _single_image_nms(
         "max_det",
         "num_candidates",
         "class_agnostic",
+        "topk_mode",
     ),
 )
 def batched_nms(
@@ -114,6 +127,7 @@ def batched_nms(
     max_det: int = 300,
     num_candidates: int = 1024,
     class_agnostic: bool = False,
+    topk_mode: str = "exact",
 ) -> NmsResult:
     """NMS over a batch: ``boxes (B, N, 4)``, ``scores (B, N)``,
     optional ``classes (B, N)`` → fixed-shape :class:`NmsResult`.
@@ -129,5 +143,6 @@ def batched_nms(
         max_det=max_det,
         num_candidates=num_candidates,
         class_agnostic=class_agnostic,
+        topk_mode=topk_mode,
     )
     return jax.vmap(fn)(boxes, scores, classes)

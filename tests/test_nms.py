@@ -124,3 +124,24 @@ class TestAgainstOracle:
             single = batched_nms(boxes[i : i + 1], scores[i : i + 1], max_det=10)
             np.testing.assert_allclose(full.boxes[i], single.boxes[0], rtol=1e-6)
             np.testing.assert_array_equal(full.valid[i], single.valid[0])
+
+
+class TestApproxTopkMode:
+    """topk_mode='approx' (TPU tiled approx_max_k preselect) — the serving
+    fidelity knob; must agree with the exact path when candidates are sparse
+    relative to the pool."""
+
+    def test_matches_exact_on_sparse_scenes(self):
+        rng = np.random.default_rng(7)
+        n = 4000
+        boxes = rng.uniform(0, 600, (2, n, 4)).astype(np.float32)
+        boxes[..., 2:] = boxes[..., :2] + np.abs(boxes[..., 2:] - boxes[..., :2]) + 1
+        # trained-detector-like score profile: a few confident, rest ~0
+        scores = np.full((2, n), 1e-4, np.float32)
+        scores[:, :50] = rng.uniform(0.3, 1.0, (2, 50))
+        a = batched_nms(jnp.asarray(boxes), jnp.asarray(scores))
+        b = batched_nms(jnp.asarray(boxes), jnp.asarray(scores), topk_mode="approx")
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_allclose(
+            np.asarray(a.scores), np.asarray(b.scores), atol=1e-6
+        )
