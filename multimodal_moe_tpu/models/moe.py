@@ -329,7 +329,13 @@ def moe_apply_sweep(
         .at[jnp.arange(t)[:, None], expert_idx]
         .add(gates.astype(jnp.float32))
     )
-    return jnp.einsum("etd,te->td", out_e, comb.astype(dtype))
+    # Combine as an elementwise gate-mask + reduce over e, NOT
+    # einsum("etd,te->td"): the einsum's contraction makes GSPMD transpose
+    # the (e, t, d) intermediate across the mesh ("involuntary full
+    # rematerialization" under expert sharding); the reduce form keeps
+    # every operand in its natural sharding and lowers the e-sum to one
+    # clean psum over the expert axis.
+    return (out_e * comb.T.astype(dtype)[:, :, None]).sum(axis=0)
 
 
 def resolve_dispatch(dispatch: str, num_tokens: int, num_experts: int) -> str:
