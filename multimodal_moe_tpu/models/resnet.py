@@ -88,6 +88,11 @@ class ResNet(nn.Module):
     vd: bool = False
     dtype: Dtype = jnp.float32
     axis_name: "str | None" = None
+    # Rematerialize each bottleneck block on the backward pass instead of
+    # holding its internals: the /4 and /8 stages at detector resolutions
+    # are multi-GB of bf16 activations per block at protocol batch sizes —
+    # the classic TPU trade of HBM for recompute FLOPs.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -101,14 +106,23 @@ class ResNet(nn.Module):
             x = _ConvBN(self.width, 7, 2, **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = (
+            nn.remat(BottleneckBlock, static_argnums=(2,)) if self.remat
+            else BottleneckBlock
+        )
         feats = []
+        block_idx = 0  # explicit names keep param paths identical with and
+        # without remat (nn.remat's auto-name is "CheckpointBottleneckBlock"),
+        # so checkpoints are interchangeable across the two modes.
         for i, n_blocks in enumerate(self.stage_sizes):
             width = self.width * (2**i)
             for j in range(n_blocks):
                 strides = 2 if (j == 0 and i > 0) else 1
-                x = BottleneckBlock(
-                    width, strides=strides, vd=self.vd, **kw
+                x = block_cls(
+                    width, strides=strides, vd=self.vd,
+                    name=f"BottleneckBlock_{block_idx}", **kw
                 )(x, train)
+                block_idx += 1
             feats.append(x)
 
         if self.num_classes is None:

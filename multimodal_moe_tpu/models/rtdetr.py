@@ -318,6 +318,7 @@ class RTDETRDetector(nn.Module):
     arch: str = "tpu"  # CCFF fusion-stage family ("tpu" | "csp")
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    remat: bool = False  # rematerialize backbone blocks (HBM ↔ recompute)
 
     denoising_capable: bool = True  # trainer passes GT + a 'denoise' rng
 
@@ -332,7 +333,8 @@ class RTDETRDetector(nn.Module):
         b, img_h, img_w, _ = images.shape
         backbone = ResNet(
             stage_sizes=self.backbone_depths, num_classes=None, vd=True,
-            dtype=self.dtype, axis_name=self.axis_name, name="backbone",
+            dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
+            name="backbone",
         )
         c2, c3, c4, c5 = backbone(images, train)
         feats = HybridEncoder(

@@ -50,6 +50,14 @@ def parse_args() -> argparse.Namespace:
         help="Device-resident dataset (HBM-parked YUV420 planes, in-graph "
         "batch gather) — see data/resident.py.",
     )
+    p.add_argument(
+        "--remat",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="Rematerialize backbone blocks in the backward pass (trades "
+        "~10%% recompute for multi-GB activation savings at protocol "
+        "resolution; required headroom for batch 16 + resident data).",
+    )
     return p.parse_args()
 
 
@@ -121,6 +129,7 @@ def main() -> None:
         hidden_dim=args.hidden_dim,
         num_queries=args.num_queries,
         num_decoder_layers=args.decoder_layers,
+        remat=args.remat,
     )
     cfg = DetTrainConfig(
         variant="r50vd",

@@ -1,5 +1,6 @@
 """Tests for deformable attention, Hungarian matching, and RT-DETR."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -266,3 +267,48 @@ class TestRTDETR:
         assert not attn[: 2 * 3, 2 * 3 : d].any()
         # matching sees matching
         assert attn[d:, d:].all()
+
+
+class TestRemat:
+    """remat=True must be numerically identical (fwd and grads) — it only
+    changes what the backward pass holds vs recomputes."""
+
+    def test_remat_matches_baseline(self):
+        from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+        def build(remat):
+            m = RTDETRDetector(
+                num_classes=1, hidden_dim=64, num_queries=8,
+                num_decoder_layers=1, num_heads=4,
+                backbone_depths=(1, 1, 1, 1), num_denoising_groups=0,
+                remat=remat,
+            )
+            v = jax.jit(
+                lambda r: m.init(r, jnp.zeros((1, 64, 128, 3)), train=True)
+            )(jax.random.PRNGKey(0))
+            return m, v
+
+        m0, v0 = build(False)
+        m1, v1 = build(True)
+        # identical param trees (remat wraps, does not rename)
+        chex.assert_trees_all_close(v0["params"], v1["params"])
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 128, 3))
+
+        def loss(m):
+            def f(params, variables):
+                out, _ = m.apply(
+                    {**variables, "params": params}, x, train=True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.sum(out["pred_logits"].astype(jnp.float32) ** 2) + jnp.sum(
+                    out["pred_boxes"].astype(jnp.float32) ** 2
+                )
+            return f
+
+        l0, g0 = jax.value_and_grad(loss(m0))(v0["params"], v0)
+        l1, g1 = jax.value_and_grad(loss(m1))(v1["params"], v1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        # Recompute reassociates float reductions — grads match to ~1e-4
+        # (measured max abs diff 8e-5 at loss ~260), not bit-exactly.
+        chex.assert_trees_all_close(g0, g1, rtol=1e-3, atol=1e-3)
