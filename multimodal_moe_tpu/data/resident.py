@@ -105,8 +105,15 @@ class ResidentDetectionLoader:
         self._local = np.arange(len(dataset))[process_index::process_count]
         n = len(self._local)
 
+        import time
+
+        t0 = time.perf_counter()
         targets = _build_target_arrays(dataset)
         targets = {k: v[self._local] for k, v in targets.items()}
+        print(
+            f"[resident] targets for {n} samples in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr, flush=True,
+        )
 
         paths = [
             str(_resolve_path(dataset.df.iloc[int(i)][cfg.image_path_col], cfg.image_root))
@@ -124,16 +131,68 @@ class ResidentDetectionLoader:
                     f"({cfg.img_w}x{cfg.img_h}); got {probe_img.size} — "
                     "use DetectionLoader for on-the-fly resize"
                 )
+        t0 = time.perf_counter()
         self.store = self._load_pixels(paths, cfg, store, num_workers, n)
-        put = lambda a: jax.device_put(a, self._device)  # noqa: E731
-        self._data = {k: put(v) for k, v in targets.items()}
+        print(
+            f"[resident] decoded {n} jpegs ({self.store}) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+
+        # Upload in bounded chunks with a per-chunk completion barrier: one
+        # multi-GB device_put is a single giant RPC on tunneled runtimes
+        # (stall-prone and invisible); ~256 MB chunks give progress, keep the
+        # remote's buffers bounded, and cost one on-device concat.
+        chunk_bytes = 256 << 20
+
+        def put(a, name=""):
+            import numpy as _np
+
+            t = time.perf_counter()
+
+            def _barrier(d):
+                # block_until_ready does not synchronize on tunneled
+                # runtimes; a 1-element fetch does.
+                _np.asarray(d[(0,) * d.ndim])
+
+            if a.nbytes <= chunk_bytes:
+                d = jax.device_put(a, self._device)
+                _barrier(d)
+            else:
+                rows = max(1, int(len(a) * chunk_bytes / a.nbytes))
+                pieces = []
+                for i in range(0, len(a), rows):
+                    p = jax.device_put(a[i : i + rows], self._device)
+                    _barrier(p)
+                    pieces.append(p)
+                    print(
+                        f"[resident] {name}: {min(i + rows, len(a))}/{len(a)} "
+                        f"rows up ({time.perf_counter() - t:.0f}s)",
+                        file=sys.stderr, flush=True,
+                    )
+                import jax.numpy as jnp
+
+                d = jax.jit(lambda *ps: jnp.concatenate(ps, axis=0))(*pieces)
+                _barrier(d)
+                del pieces
+            if a.nbytes > 64 << 20:
+                mb = a.nbytes / 1e6
+                dt = time.perf_counter() - t
+                print(
+                    f"[resident] uploaded {name} {mb:.0f} MB in {dt:.1f}s "
+                    f"({mb / dt:.0f} MB/s)",
+                    file=sys.stderr, flush=True,
+                )
+            return d
+
+        self._data = {k: put(v, k) for k, v in targets.items()}
         if self.store == "yuv420":
-            self._data["y"] = put(self._y)
-            self._data["cb"] = put(self._cb)
-            self._data["cr"] = put(self._cr)
+            self._data["y"] = put(self._y, "y")
+            self._data["cb"] = put(self._cb, "cb")
+            self._data["cr"] = put(self._cr, "cr")
             del self._y, self._cb, self._cr
         else:
-            self._data["image"] = put(self._rgb)
+            self._data["image"] = put(self._rgb, "rgb")
             del self._rgb
         self._gather = self._build_gather()
 
