@@ -1,0 +1,236 @@
+#!/usr/bin/env python3
+"""Round-3 on-chip perf session: one process, sequential sections, one JSON
+line per measurement (stdout), methodology per docs/performance.md (params
+as jit args, scalar-checksum fetch barriers, best-of-N trials).
+
+Sections (select with argv, default all):
+  yolo     — B128 fwd+NMS serving config; exact vs approx top-k preselect
+  batches  — RT-DETR fwd and MoE-YOLO fwd/train batch-scaling tables
+  gmm      — sweep/sparse/gmm fwd+bwd at E=32/64 with wider d (gmm's fate)
+  trace    — xplane trace of YOLO B64 fwd+NMS (writes trace dir for offline
+             per-op stall analysis)
+
+Single-client discipline: run this alone on the tunnel (see memory:
+axon-tunnel-wedge-recovery).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from _common import PROJECT_ROOT  # noqa: F401,E402
+
+import numpy as np  # noqa: E402
+
+H, W = 704, 1248
+
+
+def out(section: str, **kv):
+    print(json.dumps({"section": section, **kv}), flush=True)
+
+
+def timed_scalar(fn, *args, reps=4, trials=3):
+    """Seconds/call; fn returns a scalar whose host fetch is the barrier."""
+    float(np.asarray(fn(*args)))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(*args)
+        float(np.asarray(r))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def section_yolo(jax, jnp):
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    def make(batch, pool, mode):
+        def fn(v, img):
+            o = model.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+            n = batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=pool, topk_mode=mode,
+            )
+            return n.valid.sum()
+        return jax.jit(fn), jnp.zeros((batch, H, W, 3), jnp.uint8)
+
+    for batch, pool, mode in [
+        (128, 1024, "exact"),
+        (128, 512, "exact"),
+        (128, 512, "approx"),
+        (128, 1024, "approx"),
+        (64, 512, "approx"),
+    ]:
+        fn, img = make(batch, pool, mode)
+        s = timed_scalar(fn, variables, img, reps=4)
+        out("yolo", batch=batch, pool=pool, topk=mode,
+            ms_call=round(s * 1e3, 1), img_s=round(batch / s, 1))
+        del fn, img
+
+
+def section_batches(jax, jnp):
+    from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+    from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    rt = RTDETRDetector(num_classes=1)
+    rv = jax.jit(lambda r: rt.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    def rt_fwd(v, img):
+        o = rt.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+        return o["cls_logits"].sum()
+
+    rt_j = jax.jit(rt_fwd)
+    for b in (4, 8, 16, 32, 64):
+        try:
+            img = jnp.zeros((b, H, W, 3), jnp.uint8)
+            s = timed_scalar(rt_j, rv, img, reps=4)
+            out("batches", family="rtdetr_fwd", batch=b,
+                ms_call=round(s * 1e3, 1), img_s=round(b / s, 1))
+            del img
+        except Exception as e:
+            out("batches", family="rtdetr_fwd", batch=b, error=str(e)[:120])
+            break
+    del rv, rt_j
+
+    moe = MoEYoloDetector(num_classes=1, variant="s", num_experts=4)
+    mv = jax.jit(lambda r: moe.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    def moe_fwd(v, img, ctx):
+        o = moe.apply(v, img.astype(jnp.float32) / 255.0, train=False,
+                      context_ids=ctx)
+        n = batched_nms(
+            o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+            iou_threshold=0.7, score_threshold=0.001, max_det=300,
+        )
+        return n.valid.sum()
+
+    moe_j = jax.jit(moe_fwd)
+    for b in (8, 16, 32, 64, 128):
+        try:
+            img = jnp.zeros((b, H, W, 3), jnp.uint8)
+            ctx = jnp.zeros((b,), jnp.int32)
+            s = timed_scalar(moe_j, mv, img, ctx, reps=4)
+            out("batches", family="moe_yolo_fwd_nms", batch=b,
+                ms_call=round(s * 1e3, 1), img_s=round(b / s, 1))
+            del img, ctx
+        except Exception as e:
+            out("batches", family="moe_yolo_fwd_nms", batch=b, error=str(e)[:120])
+            break
+
+
+def section_gmm(jax, jnp):
+    """sweep vs sparse vs gmm fwd+bwd at larger E and d (VERDICT r2 #7)."""
+    from multimodal_moe_tpu.models.moe import (
+        moe_apply_gmm, moe_apply_sparse, moe_apply_sweep,
+        route_top_k_dropless, route_top_k_sparse,
+    )
+
+    T, K = 55296, 2  # MoE-YOLO P3 tokens at B4; d sweeps below
+    for d, e in [(128, 32), (128, 64), (256, 32), (256, 64)]:
+        h = 2 * d
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.normal(size=(T, d)).astype(np.float32)).astype(jnp.bfloat16)
+        logits = jnp.asarray(rng.normal(size=(T, e)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(e, d, h)).astype(np.float32) * 0.02)
+        b1 = jnp.zeros((e, 1, h))
+        w2 = jnp.asarray(rng.normal(size=(e, h, d)).astype(np.float32) * 0.02)
+        b2 = jnp.zeros((e, 1, d))
+
+        def make(mode):
+            def f(tokens, logits, w1, b1, w2, b2):
+                if mode == "sparse":
+                    cap = max(int(T * K * 1.25 / e), K)
+                    rd = route_top_k_sparse(logits, k=K, capacity=cap)
+                    y = moe_apply_sparse(tokens, rd, w1, b1, w2, b2, capacity=cap)
+                else:
+                    idx, gates, aux, load = route_top_k_dropless(logits, k=K)
+                    apply = moe_apply_sweep if mode == "sweep" else moe_apply_gmm
+                    y = apply(tokens, idx, gates, w1, b1, w2, b2)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            grad = jax.grad(f, argnums=(0, 2, 4))
+
+            def fb(*a):
+                g = grad(*a)
+                return sum(jnp.sum(x.astype(jnp.float32)) for x in g)
+
+            return jax.jit(fb)
+
+        for mode in ("sweep", "sparse", "gmm"):
+            try:
+                fn = make(mode)
+                s = timed_scalar(fn, tokens, logits, w1, b1, w2, b2, reps=3)
+                out("gmm", d=d, experts=e, mode=mode, fwd_bwd_ms=round(s * 1e3, 1))
+                del fn
+            except Exception as ex:
+                out("gmm", d=d, experts=e, mode=mode, error=str(ex)[:120])
+        del tokens, logits, w1, b1, w2, b2
+
+
+def section_trace(jax, jnp):
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    @jax.jit
+    def fn(v, img):
+        o = model.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+        n = batched_nms(
+            o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+            iou_threshold=0.7, score_threshold=0.001, max_det=300,
+            num_candidates=512,
+        )
+        return n.valid.sum()
+
+    img = jnp.zeros((64, H, W, 3), jnp.uint8)
+    float(np.asarray(fn(variables, img)))  # compile+warm
+    trace_dir = "/tmp/xplane_yolo_b64"
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(6):
+        r = fn(variables, img)
+    float(np.asarray(r))
+    jax.profiler.stop_trace()
+    out("trace", trace_dir=trace_dir)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path("~/.cache/mmoe/xla_cache").expanduser()))
+    import jax.numpy as jnp
+
+    sections = sys.argv[1:] or ["yolo", "batches", "gmm", "trace"]
+    out("meta", devices=str(jax.devices()), sections=sections)
+    for s in sections:
+        t0 = time.perf_counter()
+        try:
+            globals()[f"section_{s}"](jax, jnp)
+        except Exception as e:
+            out(s, fatal=str(e)[:200])
+        out("meta", section=s, wall_s=round(time.perf_counter() - t0, 1))
+
+
+if __name__ == "__main__":
+    main()
