@@ -17,6 +17,9 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
+
+from ..quant import QT, absmax_sow_kwargs, q_split2, qcat, quantize_to
 
 Dtype = Any
 
@@ -41,6 +44,39 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = autopad(self.kernel_size)
+        if isinstance(x, QT):
+            # int8 serving branch (PTQ — see quant.py): BN is folded into
+            # the int8 weights offline; the fp32 epilogue (dequant + bias +
+            # SiLU + requant) fuses into the conv so the tensor materialized
+            # in HBM is int8.
+            k = self.kernel_size
+            cin = x.q.shape[-1]
+            w_q = self.variable(
+                "quant", "w_q",
+                lambda: jnp.zeros((k, k, cin // self.groups, self.features), jnp.int8),
+            )
+            s_w = self.variable(
+                "quant", "s_w", lambda: jnp.ones((self.features,), jnp.float32)
+            )
+            b = self.variable(
+                "quant", "b", lambda: jnp.zeros((self.features,), jnp.float32)
+            )
+            s_out = self.variable(
+                "quant", "s_out", lambda: jnp.ones((), jnp.float32)
+            )
+            y32 = lax.conv_general_dilated(
+                x.q, w_q.value,
+                (self.strides, self.strides),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+            y = y32.astype(jnp.float32) * (x.s * s_w.value) + b.value
+            if self.act:
+                y = nn.silu(y)
+            return QT(quantize_to(y, s_out.value), s_out.value)
+
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -59,7 +95,17 @@ class ConvBNAct(nn.Module):
             axis_name=self.axis_name if train else None,
             name="bn",
         )(x)
-        return nn.silu(x) if self.act else x
+        y = nn.silu(x) if self.act else x
+        # Calibration statistic for PTQ (stored only when a caller passes
+        # mutable=['qcal']; dead code XLA removes otherwise; skipped during
+        # init so checkpoints/train state never grow a qcal collection).
+        if not self.is_initializing():
+            self.sow(
+                "qcal", "out_absmax",
+                jnp.max(jnp.abs(y)).astype(jnp.float32),
+                **absmax_sow_kwargs(),
+            )
+        return y
 
 
 class Bottleneck(nn.Module):
@@ -76,8 +122,22 @@ class Bottleneck(nn.Module):
         hidden = int(self.features * self.expansion)
         y = ConvBNAct(hidden, 3, dtype=self.dtype, axis_name=self.axis_name)(x, train)
         y = ConvBNAct(self.features, 3, dtype=self.dtype, axis_name=self.axis_name)(y, train)
+        if isinstance(x, QT):
+            if self.shortcut and x.q.shape[-1] == self.features:
+                s_add = self.variable(
+                    "quant", "s_add_0", lambda: jnp.ones((), jnp.float32)
+                )
+                z = x.q.astype(jnp.float32) * x.s + y.q.astype(jnp.float32) * y.s
+                y = QT(quantize_to(z, s_add.value), s_add.value)
+            return y
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
+            if not self.is_initializing():
+                self.sow(
+                    "qcal", "add0_absmax",
+                    jnp.max(jnp.abs(y)).astype(jnp.float32),
+                    **absmax_sow_kwargs(),
+                )
         return y
 
 
@@ -96,7 +156,8 @@ class CSPStage(nn.Module):
     def __call__(self, x, train: bool = False):
         hidden = self.features // 2
         y = ConvBNAct(2 * hidden, 1, dtype=self.dtype, axis_name=self.axis_name)(x, train)
-        a, b = jnp.split(y, 2, axis=-1)
+        quant = isinstance(y, QT)
+        a, b = q_split2(y) if quant else jnp.split(y, 2, axis=-1)
         outs = [a, b]
         for _ in range(self.num_blocks):
             b = Bottleneck(
@@ -104,7 +165,7 @@ class CSPStage(nn.Module):
                 dtype=self.dtype, axis_name=self.axis_name,
             )(b, train)
             outs.append(b)
-        y = jnp.concatenate(outs, axis=-1)
+        y = qcat(outs) if quant else jnp.concatenate(outs, axis=-1)
         return ConvBNAct(self.features, 1, dtype=self.dtype, axis_name=self.axis_name)(y, train)
 
 
@@ -122,14 +183,28 @@ class SPPF(nn.Module):
         x = ConvBNAct(hidden, 1, dtype=self.dtype, axis_name=self.axis_name)(x, train)
         p = self.pool_size
         pad = p // 2
-        pools = [x]
-        for _ in range(3):
-            pools.append(
-                nn.max_pool(
-                    pools[-1], (p, p), strides=(1, 1), padding=((pad, pad), (pad, pad))
+        if isinstance(x, QT):
+            # max-pool is monotone: pool the int8 codes directly, scale
+            # unchanged (all four parts share the scale object, so qcat is
+            # a pure concat with no rescale pass).
+            pools = [x.q]
+            for _ in range(3):
+                pools.append(
+                    nn.max_pool(
+                        pools[-1], (p, p), strides=(1, 1),
+                        padding=((pad, pad), (pad, pad)),
+                    )
                 )
-            )
-        y = jnp.concatenate(pools, axis=-1)
+            y = qcat([QT(q, x.s) for q in pools])
+        else:
+            pools = [x]
+            for _ in range(3):
+                pools.append(
+                    nn.max_pool(
+                        pools[-1], (p, p), strides=(1, 1), padding=((pad, pad), (pad, pad))
+                    )
+                )
+            y = jnp.concatenate(pools, axis=-1)
         return ConvBNAct(self.features, 1, dtype=self.dtype, axis_name=self.axis_name)(y, train)
 
 
@@ -164,7 +239,10 @@ class SpaceToDepthStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = space_to_depth(x.astype(self.dtype), self.ratio)
+        if isinstance(x, QT):
+            x = QT(space_to_depth(x.q, self.ratio), x.s)
+        else:
+            x = space_to_depth(x.astype(self.dtype), self.ratio)
         return ConvBNAct(
             self.features, 3, dtype=self.dtype, axis_name=self.axis_name
         )(x, train)
@@ -193,10 +271,31 @@ class PlainStage(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        for _ in range(self.num_blocks):
+        for i in range(self.num_blocks):
             y = ConvBNAct(self.features, 3, **kw)(x, train)
             y = ConvBNAct(self.features, 3, **kw)(y, train)
-            x = x + y if (self.shortcut and x.shape[-1] == self.features) else y
+            if isinstance(x, QT):
+                if self.shortcut and x.q.shape[-1] == self.features:
+                    s_add = self.variable(
+                        "quant", f"s_add_{i}", lambda: jnp.ones((), jnp.float32)
+                    )
+                    z = (
+                        x.q.astype(jnp.float32) * x.s
+                        + y.q.astype(jnp.float32) * y.s
+                    )
+                    x = QT(quantize_to(z, s_add.value), s_add.value)
+                else:
+                    x = y
+            elif self.shortcut and x.shape[-1] == self.features:
+                x = x + y
+                if not self.is_initializing():
+                    self.sow(
+                        "qcal", f"add{i}_absmax",
+                        jnp.max(jnp.abs(x)).astype(jnp.float32),
+                        **absmax_sow_kwargs(),
+                    )
+            else:
+                x = y
         return x
 
 

@@ -27,6 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from jax import lax
+
+from ..quant import QT, q_from_images, qcat
 from .layers import (
     CSPStage,
     ConvBNAct,
@@ -35,6 +38,16 @@ from .layers import (
     SpaceToDepthStem,
     upsample2x,
 )
+
+
+def _cat(xs):
+    """Channel concat for fp arrays or quantized QTs alike."""
+    return qcat(xs) if isinstance(xs[0], QT) else jnp.concatenate(xs, axis=-1)
+
+
+def _up2(x):
+    """2× nearest upsample; int8 codes upsample directly (pure reshape)."""
+    return QT(upsample2x(x.q), x.s) if isinstance(x, QT) else upsample2x(x)
 
 # (depth_multiple, width_multiple, max_channels)
 VARIANTS: "Dict[str, Tuple[float, float, int]]" = {
@@ -124,9 +137,9 @@ class PANNeck(nn.Module):
         p3, p4, p5 = feats
 
         # top-down
-        x = jnp.concatenate([upsample2x(p5), p4], axis=-1)
+        x = _cat([_up2(p5), p4])
         t4 = CSPStage(ch[3], depth, shortcut=False, **kw)(x, train)
-        x = jnp.concatenate([upsample2x(t4), p3], axis=-1)
+        x = _cat([_up2(t4), p3])
         # /8 is the hi-res level where CSP's narrow convs stall the MXU;
         # PlainStage's first 3×3 absorbs the 384→128 concat reduction.
         if self.arch == "tpu":
@@ -136,12 +149,39 @@ class PANNeck(nn.Module):
 
         # bottom-up
         x = ConvBNAct(ch[2], 3, strides=2, **kw)(n3, train)
-        x = jnp.concatenate([x, t4], axis=-1)
+        x = _cat([x, t4])
         n4 = CSPStage(ch[3], depth, shortcut=False, **kw)(x, train)
         x = ConvBNAct(ch[3], 3, strides=2, **kw)(n4, train)
-        x = jnp.concatenate([x, p5], axis=-1)
+        x = _cat([x, p5])
         n5 = CSPStage(ch[4], depth, shortcut=False, **kw)(x, train)
         return [n3, n4, n5]
+
+
+class QPredConv(nn.Module):
+    """int8 1×1 prediction conv: quantized weights, fp32 output (feeds
+    decode/NMS directly — no requant). Declared under the *same module
+    name* as the fp ``nn.Conv`` so the quant tree's paths mirror params."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: QT):
+        cin = x.q.shape[-1]
+        w_q = self.variable(
+            "quant", "w_q", lambda: jnp.zeros((1, 1, cin, self.features), jnp.int8)
+        )
+        s_w = self.variable(
+            "quant", "s_w", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        b = self.variable(
+            "quant", "b", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        y32 = lax.conv_general_dilated(
+            x.q, w_q.value, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return y32.astype(jnp.float32) * (x.s * s_w.value) + b.value
 
 
 class DetectHead(nn.Module):
@@ -164,14 +204,20 @@ class DetectHead(nn.Module):
         for i, f in enumerate(feats):
             b = ConvBNAct(box_ch, 3, **kw, name=f"box{i}_conv1")(f, train)
             b = ConvBNAct(box_ch, 3, **kw, name=f"box{i}_conv2")(b, train)
-            b = nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype, name=f"box{i}_pred")(b)
+            if isinstance(b, QT):
+                b = QPredConv(4 * REG_MAX, name=f"box{i}_pred")(b)
+            else:
+                b = nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype, name=f"box{i}_pred")(b)
             c = ConvBNAct(cls_ch, 3, **kw, name=f"cls{i}_conv1")(f, train)
             c = ConvBNAct(cls_ch, 3, **kw, name=f"cls{i}_conv2")(c, train)
-            c = nn.Conv(
-                self.num_classes, (1, 1), dtype=self.dtype,
-                bias_init=nn.initializers.constant(-4.6),  # prior p≈0.01
-                name=f"cls{i}_pred",
-            )(c)
+            if isinstance(c, QT):
+                c = QPredConv(self.num_classes, name=f"cls{i}_pred")(c)
+            else:
+                c = nn.Conv(
+                    self.num_classes, (1, 1), dtype=self.dtype,
+                    bias_init=nn.initializers.constant(-4.6),  # prior p≈0.01
+                    name=f"cls{i}_pred",
+                )(c)
             box_out.append(b)
             cls_out.append(c)
         return box_out, cls_out
@@ -226,11 +272,16 @@ class YoloDetector(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     arch: str = "tpu"
+    int8: bool = False  # PTQ serving mode: needs the 'quant' collection (quant.py)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> "Dict[str, jnp.ndarray]":
         b, img_h, img_w, _ = images.shape
         kw = dict(variant=self.variant, dtype=self.dtype, axis_name=self.axis_name)
+        if self.int8:
+            # Normalized [0,1] input → int8 codes at the static scale 1/127;
+            # from here every inter-layer activation is int8 (see quant.py).
+            images = q_from_images(images)
         feats = Backbone(**kw, arch=self.arch, name="backbone")(images, train)
         feats = PANNeck(**kw, arch=self.arch, name="neck")(feats, train)
         box_maps, cls_maps = DetectHead(

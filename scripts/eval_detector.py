@@ -44,6 +44,14 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--nms-iou", type=float, default=0.7)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument(
+        "--int8", action="store_true",
+        help="PTQ int8 serving path (yolo backend): calibrate on train "
+        "batches, fold BN, quantize, eval the int8 forward. The quant tree "
+        "is cached as int8_quant.npz beside the checkpoint.",
+    )
+    p.add_argument("--int8-calib-batches", type=int, default=8)
+    p.add_argument("--int8-recalibrate", action="store_true")
     return p.parse_args()
 
 
@@ -130,6 +138,45 @@ def main() -> None:
     variables = {"params": params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    fp_model, fp_variables = model, variables
+
+    if args.int8:
+        if family != "yolo":
+            raise SystemExit("--int8 currently supports the yolo backend only")
+        import numpy as np
+
+        from multimodal_moe_tpu import quant as qz
+
+        model_q = YoloDetector(
+            num_classes=model_cfg.get("num_classes", 1), variant=variant, int8=True
+        )
+        qnpz = ckpt_path.parent / f"int8_quant_{ckpt_path.name}.npz"
+        if qnpz.exists() and not args.int8_recalibrate:
+            qvars = qz.load_quant_npz(qnpz)
+            print(f"Loaded int8 quant tree <- {qnpz}")
+        else:
+            calib_ds = ZODMoEVisionDataset(
+                ZODMoEDataConfig(
+                    frames_parquet=args.parquet,
+                    split_csv=str(Path(args.splits_dir) / "train_ids.csv"),
+                    img_h=args.img_h,
+                    img_w=args.img_w,
+                    unclear_policy=args.unclear_policy,
+                )
+            )
+            calib_loader = DetectionLoader(
+                calib_ds, batch_size=args.batch, drop_last=True
+            )
+            calib = []
+            for batch in calib_loader:
+                calib.append(np.asarray(batch["image"]).astype(np.float32) / 255.0)
+                if len(calib) >= args.int8_calib_batches:
+                    break
+            qvars = qz.quantize_detector(model, model_q, variables, calib)
+            qz.save_quant_npz(qnpz, qvars)
+            print(f"Calibrated on {len(calib)} train batches; saved -> {qnpz}")
+        model, variables = model_q, qvars
+
     infer = make_inference_fn(model, variables)
 
     metrics = evaluate_detector(
@@ -143,7 +190,11 @@ def main() -> None:
     metrics["params_total"] = count_params(params)
     from multimodal_moe_tpu.train.evaluator import model_flops_g
 
-    metrics["flops_g"] = model_flops_g(model, variables, args.img_h, args.img_w)
+    # FLOPs reported for the fp graph (backend-independent analytic number;
+    # the int8 graph's op mix is a serving detail, not a model property).
+    metrics["flops_g"] = model_flops_g(fp_model, fp_variables, args.img_h, args.img_w)
+    if args.int8:
+        metrics["quantization"] = "int8_w8a8_ptq"
 
     out_dir = Path(paths.EVAL_DIR) / args.backend / args.run_name
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -163,6 +214,7 @@ def main() -> None:
         "dataset_export_name": Path(args.parquet).stem,
         "nms_iou": args.nms_iou,
         "max_det": args.max_det,
+        "quantization": "int8_w8a8_ptq" if args.int8 else "none",
     }
     metadata.update(collect_runtime_info())
     meta_json, meta_csv = save_run_metadata_artifacts(

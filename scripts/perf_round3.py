@@ -5,6 +5,7 @@ as jit args, scalar-checksum fetch barriers, best-of-N trials).
 
 Sections (select with argv, default all):
   yolo     — B128 fwd+NMS serving config; exact vs approx top-k preselect
+  int8     — int8 PTQ serving vs bf16 at B64/128/192 (quant.py)
   batches  — RT-DETR fwd and MoE-YOLO fwd/train batch-scaling tables
   gmm      — sweep/sparse/gmm fwd+bwd at E=32/64 with wider d (gmm's fate)
   trace    — xplane trace of YOLO B64 fwd+NMS (writes trace dir for offline
@@ -78,6 +79,44 @@ def section_yolo(jax, jnp):
         out("yolo", batch=batch, pool=pool, topk=mode,
             ms_call=round(s * 1e3, 1), img_s=round(batch / s, 1))
         del fn, img
+
+
+def section_int8(jax, jnp):
+    """int8 PTQ serving (w8a8, quant.py) vs bf16 at serving batches."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    model_i8 = YoloDetector(num_classes=1, variant="s", int8=True)
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    qvars = qz.quantize_detector(model, model_i8, variables, calib)
+
+    def make(m, v, batch, pool):
+        def fn(v, img):
+            o = m.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+            n = batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=pool,
+            )
+            return n.valid.sum()
+        return jax.jit(fn), jnp.zeros((batch, H, W, 3), jnp.uint8)
+
+    for batch in (64, 128, 192):
+        for name, m, v in (("bf16", model, variables), ("int8", model_i8, qvars)):
+            try:
+                fn, img = make(m, v, batch, 512)
+                s = timed_scalar(fn, v, img, reps=4)
+                out("int8", mode=name, batch=batch,
+                    ms_call=round(s * 1e3, 1), img_s=round(batch / s, 1))
+                del fn, img
+            except Exception as e:
+                out("int8", mode=name, batch=batch, error=str(e)[:160])
 
 
 def section_batches(jax, jnp):
@@ -221,7 +260,7 @@ def main():
                       str(Path("~/.cache/mmoe/xla_cache").expanduser()))
     import jax.numpy as jnp
 
-    sections = sys.argv[1:] or ["yolo", "batches", "gmm", "trace"]
+    sections = sys.argv[1:] or ["yolo", "int8", "batches", "gmm", "trace"]
     out("meta", devices=str(jax.devices()), sections=sections)
     for s in sections:
         t0 = time.perf_counter()

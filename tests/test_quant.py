@@ -1,0 +1,142 @@
+"""int8 PTQ serving path: converter correctness + fp↔int8 parity.
+
+The reference has no quantized deployment story (Ultralytics fp16 CUDA);
+the int8 path is a TPU-serving addition (quant.py) targeting the
+activation-bandwidth bound. These tests pin:
+
+* the BN-fold + per-channel weight-quant arithmetic on a single ConvBNAct
+* end-to-end parity of the full YoloDetector int8 forward vs fp
+* that the converter fills every quant leaf (no silent default scales)
+* npz round-trip of the quant tree
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_moe_tpu import quant as Q
+from multimodal_moe_tpu.models.layers import ConvBNAct
+from multimodal_moe_tpu.models.yolo import YoloDetector
+
+
+def _rand_images(rng, n, h, w, b=2):
+    return [jnp.asarray(rng.random((b, h, w, 3), np.float32)) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def tiny_quantized():
+    """fp 'n'-variant detector + its converted int8 twin (64×96 input)."""
+    h, w = 64, 96
+    m = YoloDetector(num_classes=1, variant="n", dtype=jnp.float32)
+    mq = YoloDetector(num_classes=1, variant="n", dtype=jnp.float32, int8=True)
+    rng = np.random.default_rng(0)
+    imgs = _rand_images(rng, 3, h, w)
+    variables = m.init(jax.random.PRNGKey(0), imgs[0], train=False)
+    qvars = Q.quantize_detector(m, mq, variables, imgs)
+    return m, mq, variables, qvars, imgs
+
+
+def test_convbnact_quant_parity():
+    """Single block: int8 path ≈ fp path within per-tensor quant error."""
+    m = ConvBNAct(16, 3)
+    mq = m  # same module; branch chosen by input type
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    # give BN stats a non-trivial affine so the fold is actually exercised
+    variables = jax.tree.map(lambda v: v, variables)
+    bs = dict(variables["batch_stats"]["bn"])
+    bs["mean"] = jnp.full_like(bs["mean"], 0.1)
+    bs["var"] = jnp.full_like(bs["var"], 0.5)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {"bn": bs},
+    }
+    qcal = Q.calibrate(m, variables, [x])
+    s_in = jnp.float32(np.abs(x).max() / 127)
+    x_q = Q.QT(Q.quantize_to(x, s_in), s_in)
+    qvars = Q.build_quant_variables(mq, variables, qcal, x_q)
+    y_fp = np.asarray(m.apply(variables, x, train=False))
+    out = mq.apply(qvars, x_q, train=False)
+    y_q = np.asarray(Q.dequantize(out))
+    # error budget: input quant + output quant, each ≤ absmax/127 ≈ 1%
+    scale = max(np.abs(y_fp).max(), 1e-6)
+    assert np.abs(y_fp - y_q).max() / scale < 0.05
+    assert np.corrcoef(y_fp.ravel(), y_q.ravel())[0, 1] > 0.999
+
+
+def test_full_model_parity(tiny_quantized):
+    m, mq, variables, qvars, imgs = tiny_quantized
+    out_fp = m.apply(variables, imgs[0], train=False)
+    out_q = mq.apply(qvars, imgs[0], train=False)
+    cls_fp = np.asarray(out_fp["cls_logits"]).ravel()
+    cls_q = np.asarray(out_q["cls_logits"]).ravel()
+    box_fp = np.asarray(out_fp["boxes"]).ravel()
+    box_q = np.asarray(out_q["boxes"]).ravel()
+    assert np.corrcoef(cls_fp, cls_q)[0, 1] > 0.99
+    assert np.corrcoef(box_fp, box_q)[0, 1] > 0.999
+    # decoded boxes live in pixel units — mean error well under a pixel
+    assert np.abs(box_fp - box_q).mean() < 0.5
+
+
+def test_every_quant_leaf_filled(tiny_quantized):
+    _, _, _, qvars, _ = tiny_quantized
+    leaves = jax.tree_util.tree_flatten_with_path(qvars["quant"])[0]
+    n_conv = 0
+    for kpath, leaf in leaves:
+        name = "/".join(k.key for k in kpath)
+        arr = np.asarray(leaf)
+        if name.endswith("s_out") or "s_add" in name:
+            # calibrated scales: must be strictly positive and not the
+            # 1.0 init default (absmax/127 of real activations never lands
+            # exactly on 1.0)
+            assert arr.min() > 0 and not np.allclose(arr, 1.0), name
+        if name.endswith("w_q"):
+            n_conv += 1
+            assert arr.dtype == np.int8
+            # per-channel symmetric quant saturates at least one weight
+            # per channel at ±127
+            assert np.abs(arr).max() == 127, name
+    assert n_conv > 20  # backbone + neck + head convs all present
+
+
+def test_int8_activations_flow(tiny_quantized):
+    """The quant forward's inter-layer tensors really are int8 QTs: probing
+    the backbone submodule output directly."""
+    _, mq, _, qvars, imgs = tiny_quantized
+    out, mods = mq.apply(
+        qvars, imgs[0], train=False,
+        capture_intermediates=lambda mdl, _: mdl.name == "backbone",
+        mutable=["intermediates"],
+    )
+    p3, p4, p5 = mods["intermediates"]["backbone"]["__call__"][0]
+    for t in (p3, p4, p5):
+        assert isinstance(t, Q.QT)
+        assert t.q.dtype == jnp.int8
+    # final outputs are fp for decode/NMS
+    assert out["boxes"].dtype == jnp.float32
+
+
+def test_npz_roundtrip(tmp_path, tiny_quantized):
+    _, mq, _, qvars, imgs = tiny_quantized
+    path = tmp_path / "quant.npz"
+    Q.save_quant_npz(path, qvars)
+    loaded = Q.load_quant_npz(path)
+    a = mq.apply(qvars, imgs[0], train=False)
+    b = mq.apply(loaded, imgs[0], train=False)
+    np.testing.assert_array_equal(np.asarray(a["boxes"]), np.asarray(b["boxes"]))
+
+
+def test_calibration_accumulates_max():
+    """qcal absmax is the max over *all* calibration batches."""
+    m = ConvBNAct(8, 1, act=False)
+    rng = np.random.default_rng(2)
+    x1 = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+    x2 = 10.0 * x1
+    variables = m.init(jax.random.PRNGKey(0), x1, train=False)
+    qc_small = Q.calibrate(m, variables, [x1])
+    qc_both = Q.calibrate(m, variables, [x1, x2])
+    a1 = float(np.asarray(qc_small["out_absmax"]))
+    a2 = float(np.asarray(qc_both["out_absmax"]))
+    assert a2 == pytest.approx(10.0 * a1, rel=1e-5)
