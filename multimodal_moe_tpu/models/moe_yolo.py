@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.solar import NUM_SOLAR_BINS
+from ..quant import QT, absmax_sow_kwargs, q_from_images, quantize_to
 from .moe import MoEFFN
 from .yolo import Backbone, DetectHead, PANNeck, REG_MAX, decode_boxes, make_anchors
 
@@ -37,6 +38,10 @@ class MoEYoloDetector(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     arch: str = "tpu"
+    # PTQ serving: int8 trunk (backbone/neck/head convs), fp MoE blocks with
+    # requantized outputs. Serving variables = {'quant': ..., 'params': ...}
+    # (the MoE blocks keep reading fp params). See quant.py.
+    int8: bool = False
 
     context_aware: bool = True  # trainer passes context_ids when True
 
@@ -53,6 +58,8 @@ class MoEYoloDetector(nn.Module):
             context_ids = jnp.full((b,), NUM_SOLAR_BINS - 1, jnp.int32)
 
         kw = dict(variant=self.variant, dtype=self.dtype, axis_name=self.axis_name)
+        if self.int8:
+            images = q_from_images(images)
         feats = Backbone(**kw, arch=self.arch, name="backbone")(images, train)
         feats = PANNeck(**kw, arch=self.arch, name="neck")(feats, train)
 
@@ -60,8 +67,12 @@ class MoEYoloDetector(nn.Module):
         expert_loads = []
         moe_feats = []
         for i, f in enumerate(feats):
-            bb, h, w, c = f.shape
-            tokens = f.reshape(bb * h * w, c)
+            if isinstance(f, QT):
+                f_fp = f.q.astype(self.dtype) * f.s.astype(self.dtype)
+            else:
+                f_fp = f
+            bb, h, w, c = f_fp.shape
+            tokens = f_fp.reshape(bb * h * w, c)
             token_ctx = jnp.repeat(context_ids, h * w, total_repeat_length=bb * h * w)
             out_tokens, aux = MoEFFN(
                 num_experts=self.num_experts,
@@ -71,7 +82,23 @@ class MoEYoloDetector(nn.Module):
                 dtype=self.dtype,
                 name=f"moe_level{i}",
             )(tokens, token_ctx)
-            moe_feats.append(out_tokens.reshape(bb, h, w, c))
+            out_map = out_tokens.reshape(bb, h, w, c)
+            if isinstance(f, QT):
+                # requantize the fp MoE output for the int8 head
+                s_moe = self.variable(
+                    "quant", f"s_moe_out_{i}", lambda: jnp.ones((), jnp.float32)
+                )
+                out_map = QT(
+                    quantize_to(out_map.astype(jnp.float32), s_moe.value),
+                    s_moe.value,
+                )
+            elif not self.is_initializing():
+                self.sow(
+                    "qcal", f"moe_out{i}_absmax",
+                    jnp.max(jnp.abs(out_map)).astype(jnp.float32),
+                    **absmax_sow_kwargs(),
+                )
+            moe_feats.append(out_map)
             aux_total = aux_total + aux["moe_aux_loss"]
             expert_loads.append(aux["expert_load"])
 

@@ -206,10 +206,12 @@ def build_quant_variables(model_q, fp_variables: Dict, qcal: Dict, sample_images
             return built
         out = {}
         for k in qnode:
-            if k.startswith("s_add"):
-                # residual-add requant scale ↔ calibrated 'add{i}_absmax'
-                idx = k[len("s_add_"):]
-                absmax = float(np.asarray(cnode[f"add{idx}_absmax"]))
+            if k.startswith("s_") and not isinstance(qnode[k], dict):
+                # requant scale ↔ calibrated absmax, by naming convention:
+                # quant var 's_<name>_<i>' reads qcal '<name><i>_absmax'
+                # (e.g. s_add_0 ↔ add0_absmax, s_moe_out_1 ↔ moe_out1_absmax)
+                stem, idx = k[2:].rsplit("_", 1)
+                absmax = float(np.asarray(cnode[f"{stem}{idx}_absmax"]))
                 out[k] = jnp.asarray(max(absmax / 127.0, _MIN_SCALE), jnp.float32)
             else:
                 out[k] = walk(
@@ -230,6 +232,16 @@ def quantize_detector(model_fp, model_q, fp_variables, calib_batches, **apply_kw
     qcal = calibrate(model_fp, fp_variables, batches, **apply_kwargs)
     sample = jnp.asarray(batches[0])[:1]
     return build_quant_variables(model_q, fp_variables, qcal, sample)
+
+
+def merge_serving_variables(quant_vars: Dict, fp_variables: Dict) -> Dict:
+    """Serving variables for partially-quantized models (MoE-YOLO): the int8
+    trunk reads 'quant', the fp blocks (MoE FFNs) keep reading 'params'."""
+    out = dict(quant_vars)
+    out["params"] = fp_variables["params"]
+    if "batch_stats" in fp_variables:
+        out["batch_stats"] = fp_variables["batch_stats"]
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -14,6 +14,7 @@ XLA inserts the gradient ``psum`` over ICI.
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -202,6 +203,7 @@ class DetectionTrainer:
         log_every: int = 50,
         state: Optional[TrainState] = None,
         resume: bool = False,
+        max_epochs_this_run: Optional[int] = None,
     ) -> "tuple[TrainState, dict]":
         cfg = self.cfg
         run_dir = Path(run_dir)
@@ -210,15 +212,33 @@ class DetectionTrainer:
 
         if state is None:
             state = self.init_state()
-        if resume and ckpt.has("last"):
-            state = ckpt.restore("last", state)
 
+        # Cross-process-resumable progress: epoch counter, best fitness,
+        # early-stop counter and history persist beside the checkpoints so
+        # an interrupted (or deliberately chunked) run continues exactly
+        # where it stopped — needed on hosts where long runs must restart
+        # periodically (the tunneled TPU client leaks host RAM per H2D
+        # transfer; see docs/performance.md).
+        progress_path = run_dir / "fit_progress.json"
         t_start = time.perf_counter()
         best_fitness = -float("inf")
         epochs_without_improvement = 0
         history = []
+        start_epoch = 0
+        wall_accum = 0.0
+        if resume and ckpt.has("last"):
+            state = ckpt.restore("last", state)
+            if progress_path.exists():
+                prog = json.loads(progress_path.read_text())
+                start_epoch = int(prog["epoch"]) + 1
+                best_fitness = float(prog["best_fitness"])
+                epochs_without_improvement = int(prog["epochs_without_improvement"])
+                history = list(prog.get("history", []))
+                wall_accum = float(prog.get("train_wall_s_accum", 0.0))
 
-        for epoch in range(cfg.epochs):
+        epochs_this_run = 0
+        stopped_early = False
+        for epoch in range(start_epoch, cfg.epochs):
             epoch_metrics: "Dict[str, list]" = {}
             from ..data.pipeline import prefetch_to_device
 
@@ -274,15 +294,32 @@ class DetectionTrainer:
                 f"epoch {epoch + 1}/{cfg.epochs} "
                 + " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "epoch")
             )
+            progress_path.write_text(json.dumps({
+                "epoch": epoch,
+                "best_fitness": best_fitness,
+                "epochs_without_improvement": epochs_without_improvement,
+                "train_wall_s_accum": wall_accum + (time.perf_counter() - t_start),
+                "history": history,
+            }))
+            epochs_this_run += 1
             if epochs_without_improvement > cfg.patience:
                 print(f"Early stopping at epoch {epoch + 1} (patience {cfg.patience}).")
+                stopped_early = True
+                break
+            if max_epochs_this_run and epochs_this_run >= max_epochs_this_run:
+                print(
+                    f"Pausing after {epochs_this_run} epochs this run "
+                    f"(resume with --resume to continue)."
+                )
                 break
 
-        wall = time.perf_counter() - t_start
+        wall = wall_accum + (time.perf_counter() - t_start)
         summary = {
             "train_wall_time_s": wall,
             "best_fitness": best_fitness,
             "epochs_run": len(history),
             "history": history,
+            "stopped_early": stopped_early,
+            "completed": stopped_early or len(history) >= cfg.epochs,
         }
         return state, summary

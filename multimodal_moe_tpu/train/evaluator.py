@@ -24,10 +24,11 @@ from ..ops.coco_map import evaluate_detections
 from ..ops.nms import batched_nms
 
 
-def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
-    """Jitted forward: uint8 images → (boxes, scores) per anchor/query.
-
-    Context-aware models (MoE) receive the per-image solar bin ids."""
+def make_inference_step(model, *, use_sigmoid: bool = True):
+    """Jitted forward taking ``variables`` as an argument: build ONCE and
+    reuse across epochs/checkpoints — rebuilding a ``jax.jit`` per epoch
+    (as a naive per-epoch ``make_inference_fn`` does) accumulates loaded
+    executables in the client for the life of the process."""
     context_aware = getattr(model, "context_aware", False)
 
     # Params are jit arguments, not closure constants (closure-constant
@@ -44,6 +45,15 @@ def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
         if use_sigmoid:
             scores = jax.nn.sigmoid(scores)
         return out["boxes"], scores
+
+    return infer_v
+
+
+def make_inference_fn(model, variables, *, use_sigmoid: bool = True):
+    """Jitted forward: uint8 images → (boxes, scores) per anchor/query.
+
+    Context-aware models (MoE) receive the per-image solar bin ids."""
+    infer_v = make_inference_step(model, use_sigmoid=use_sigmoid)
 
     def infer(images_u8, context_ids=None):
         return infer_v(variables, images_u8, context_ids)

@@ -125,5 +125,22 @@ class CheckpointManager:
     def restore(self, name: str, target: TrainState) -> TrainState:
         return self._ckptr.restore(self._path(name), target=target)
 
+    def restore_eval(self, name: str, target: TrainState) -> TrainState:
+        """Restore only the inference-relevant leaves (params / ema_params /
+        batch_stats), ignoring the optimizer state entirely.
+
+        Evaluation must not depend on reconstructing the *training-time*
+        optimizer chain: a checkpoint written by an AdamW run would fail a
+        structural restore against an evaluator that guessed SGD (opt_state
+        pytrees differ). Raw-restore the checkpoint and graft the weight
+        trees onto the target state."""
+        raw = self._ckptr.restore(self._path(name))
+        out = target
+        for field in ("params", "ema_params", "batch_stats"):
+            val = raw.get(field) if isinstance(raw, dict) else None
+            if val:
+                out = out.replace(**{field: val})
+        return out
+
     def has(self, name: str) -> bool:
         return self._path(name).exists()

@@ -121,7 +121,10 @@ def main() -> None:
     trainer = DetectionTrainer(model, cfg, steps_per_epoch=1)
     state = trainer.init_state()
     ckpt = CheckpointManager(ckpt_path.parent)
-    state = ckpt.restore(ckpt_path.name, state)
+    # opt_state-independent restore: eval must work regardless of which
+    # optimizer chain trained the checkpoint (and even when the run was
+    # interrupted before model_config.json recorded it).
+    state = ckpt.restore_eval(ckpt_path.name, state)
 
     ds = ZODMoEVisionDataset(
         ZODMoEDataConfig(
@@ -141,15 +144,25 @@ def main() -> None:
     fp_model, fp_variables = model, variables
 
     if args.int8:
-        if family != "yolo":
-            raise SystemExit("--int8 currently supports the yolo backend only")
+        if family == "rtdetr":
+            raise SystemExit("--int8 supports the yolo and moe backends only")
         import numpy as np
 
         from multimodal_moe_tpu import quant as qz
 
-        model_q = YoloDetector(
-            num_classes=model_cfg.get("num_classes", 1), variant=variant, int8=True
-        )
+        if family == "moe":
+            from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+
+            model_q = MoEYoloDetector(
+                num_classes=model_cfg.get("num_classes", 1),
+                variant=variant,
+                num_experts=model_cfg.get("num_experts", 4),
+                int8=True,
+            )
+        else:
+            model_q = YoloDetector(
+                num_classes=model_cfg.get("num_classes", 1), variant=variant, int8=True
+            )
         qnpz = ckpt_path.parent / f"int8_quant_{ckpt_path.name}.npz"
         if qnpz.exists() and not args.int8_recalibrate:
             qvars = qz.load_quant_npz(qnpz)
@@ -175,6 +188,8 @@ def main() -> None:
             qvars = qz.quantize_detector(model, model_q, variables, calib)
             qz.save_quant_npz(qnpz, qvars)
             print(f"Calibrated on {len(calib)} train batches; saved -> {qnpz}")
+        if family == "moe":
+            qvars = qz.merge_serving_variables(qvars, variables)
         model, variables = model_q, qvars
 
     infer = make_inference_fn(model, variables)

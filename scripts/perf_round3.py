@@ -268,7 +268,7 @@ def main():
             globals()[f"section_{s}"](jax, jnp)
         except Exception as e:
             out(s, fatal=str(e)[:200])
-        out("meta", section=s, wall_s=round(time.perf_counter() - t0, 1))
+        out("meta", done=s, wall_s=round(time.perf_counter() - t0, 1))
 
 
 if __name__ == "__main__":

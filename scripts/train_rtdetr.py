@@ -43,6 +43,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--name", type=str, default="baseline")
     p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--max-epochs-this-run", type=int, default=None,
+        help="Pause (checkpoint + fit_progress.json) after N epochs in this "
+        "process; re-invoke with --resume to continue. Long-run mitigation "
+        "for the tunneled TPU client's per-transfer host-RAM leak.",
+    )
     p.add_argument("--max-boxes", type=int, default=96)
     p.add_argument(
         "--resident",
@@ -86,7 +92,7 @@ def main() -> None:
         save_training_summary,
     )
     from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
-    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_fn
+    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_step
 
     run_dir = Path(args.project) / args.name
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -150,21 +156,22 @@ def main() -> None:
         model, cfg, loss_fn=loss_fn, mesh=mesh, steps_per_epoch=len(train_loader)
     )
 
+    # One jitted eval step for the whole run (rebuilding per epoch leaks
+    # loaded executables in the tunnel client).
+    infer_v = make_inference_step(model)
+
     def val_fn(state):
         variables = {"params": state.ema_params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        infer = make_inference_fn(model, variables)
         return evaluate_detector(
-            iter(val_loader), infer, use_nms=False, compute_curves=False
+            iter(val_loader),
+            lambda images, context_ids=None: infer_v(variables, images, context_ids),
+            use_nms=False,
+            compute_curves=False,
         )
 
-    t0 = time.perf_counter()
-    state, summary = trainer.fit(
-        train_loader, run_dir=run_dir, val_fn=val_fn, resume=args.resume
-    )
-    wall = time.perf_counter() - t0
-
+    # Written BEFORE training so interrupted runs stay evaluable.
     (run_dir / "model_config.json").write_text(
         json.dumps(
             {
@@ -181,6 +188,13 @@ def main() -> None:
             indent=2,
         )
     )
+
+    t0 = time.perf_counter()
+    state, summary = trainer.fit(
+        train_loader, run_dir=run_dir, val_fn=val_fn, resume=args.resume,
+        max_epochs_this_run=args.max_epochs_this_run,
+    )
+    wall = time.perf_counter() - t0
 
     n_params = count_params(state.params)
     save_training_summary(

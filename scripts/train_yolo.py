@@ -52,6 +52,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--name", type=str, default="baseline")
     p.add_argument("--unclear-policy", type=str, default="exclude_unclear")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--max-epochs-this-run", type=int, default=None,
+        help="Pause (checkpoint + fit_progress.json) after N epochs in this "
+        "process; re-invoke with --resume to continue.",
+    )
     p.add_argument("--max-boxes", type=int, default=96)
     p.add_argument("--eval-every", type=int, default=1, help="Val every N epochs.")
     p.add_argument(
@@ -91,7 +96,7 @@ def main() -> None:
         save_training_summary,
     )
     from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
-    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_fn
+    from multimodal_moe_tpu.train.evaluator import evaluate_detector, make_inference_step
 
     run_dir = Path(args.project) / args.name
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -166,23 +171,20 @@ def main() -> None:
     )
     trainer = DetectionTrainer(model, cfg, mesh=mesh, steps_per_epoch=len(train_loader))
 
+    infer_v = make_inference_step(model)  # one jitted eval step per run
+
     def val_fn(state):
         variables = {"params": state.ema_params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        infer = make_inference_fn(model, variables)
-        return evaluate_detector(iter(val_loader), infer, compute_curves=False)
+        return evaluate_detector(
+            iter(val_loader),
+            lambda images, context_ids=None: infer_v(variables, images, context_ids),
+            compute_curves=False,
+        )
 
-    t0 = time.perf_counter()
-    state, summary = trainer.fit(
-        train_loader,
-        run_dir=run_dir,
-        val_fn=val_fn if args.eval_every > 0 else None,
-        resume=args.resume,
-    )
-    wall = time.perf_counter() - t0
-
-    # model_config.json lets eval_detector rebuild the exact model.
+    # model_config.json lets eval_detector rebuild the exact model
+    # (written before training so interrupted runs stay evaluable).
     (run_dir / "model_config.json").write_text(
         json.dumps(
             {
@@ -196,6 +198,16 @@ def main() -> None:
             indent=2,
         )
     )
+
+    t0 = time.perf_counter()
+    state, summary = trainer.fit(
+        train_loader,
+        run_dir=run_dir,
+        val_fn=val_fn if args.eval_every > 0 else None,
+        resume=args.resume,
+        max_epochs_this_run=args.max_epochs_this_run,
+    )
+    wall = time.perf_counter() - t0
 
     n_params = count_params(state.params)
     save_training_summary(

@@ -128,6 +128,33 @@ def test_npz_roundtrip(tmp_path, tiny_quantized):
     np.testing.assert_array_equal(np.asarray(a["boxes"]), np.asarray(b["boxes"]))
 
 
+def test_moe_yolo_int8_parity():
+    """MoE-YOLO serving: int8 trunk + fp MoE blocks ≈ fp model."""
+    from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+
+    h, w = 64, 96
+    m = MoEYoloDetector(num_classes=1, variant="n", num_experts=2)
+    mq = MoEYoloDetector(num_classes=1, variant="n", num_experts=2, int8=True)
+    rng = np.random.default_rng(3)
+    imgs = _rand_images(rng, 2, h, w)
+    ctx = jnp.zeros((2,), jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), imgs[0], train=False)
+    qvars = Q.quantize_detector(m, mq, variables, imgs, context_ids=ctx)
+    serving = Q.merge_serving_variables(qvars, variables)
+    out_fp = m.apply(variables, imgs[0], train=False, context_ids=ctx)
+    out_q = mq.apply(serving, imgs[0], train=False, context_ids=ctx)
+    cls_fp = np.asarray(out_fp["cls_logits"]).ravel()
+    cls_q = np.asarray(out_q["cls_logits"]).ravel()
+    box_fp = np.asarray(out_fp["boxes"]).ravel()
+    box_q = np.asarray(out_q["boxes"]).ravel()
+    assert np.corrcoef(cls_fp, cls_q)[0, 1] > 0.99
+    assert np.corrcoef(box_fp, box_q)[0, 1] > 0.999
+    # the MoE requant scales were calibrated (not left at the 1.0 init)
+    for i in range(3):
+        s = float(np.asarray(qvars["quant"][f"s_moe_out_{i}"]))
+        assert s > 0 and s != 1.0
+
+
 def test_calibration_accumulates_max():
     """qcal absmax is the max over *all* calibration batches."""
     m = ConvBNAct(8, 1, act=False)

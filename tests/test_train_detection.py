@@ -103,6 +103,59 @@ class TestTraining:
         )
         assert int(restored.step) == int(state.step)
 
+    def test_restore_eval_ignores_optimizer_mismatch(self, loaders, tmp_path):
+        """Eval-time restore must not depend on the training optimizer:
+        an AdamW checkpoint restores into an SGD-built evaluator state
+        (regression: the interrupted RT-DETR protocol run had no
+        model_config.json and the structural restore failed on opt_state)."""
+        from multimodal_moe_tpu.train.state import CheckpointManager
+
+        train_loader, _ = loaders
+        model = YoloDetector(num_classes=1, variant="n")
+        cfg = DetTrainConfig(
+            variant="n", img_h=64, img_w=128, epochs=1, batch=8, optimizer="adamw"
+        )
+        trainer = DetectionTrainer(model, cfg, steps_per_epoch=len(train_loader))
+        state, _ = trainer.fit(train_loader, run_dir=tmp_path)
+
+        sgd_eval = DetectionTrainer(
+            model,
+            DetTrainConfig(variant="n", img_h=64, img_w=128, optimizer="sgd"),
+            steps_per_epoch=1,
+        )
+        restored = CheckpointManager(tmp_path / "weights").restore_eval(
+            "best", sgd_eval.init_state()
+        )
+        import jax
+
+        a = jax.tree.leaves(restored.ema_params)
+        b = jax.tree.leaves(state.ema_params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    def test_fit_resume_continues_from_progress(self, loaders, tmp_path):
+        """Chunked training: pausing via max_epochs_this_run and re-running
+        with resume=True continues the epoch counter, history and best
+        fitness instead of starting over."""
+        train_loader, _ = loaders
+        model = YoloDetector(num_classes=1, variant="n")
+        cfg = DetTrainConfig(variant="n", img_h=64, img_w=128, epochs=4, batch=8,
+                             patience=10)
+        trainer = DetectionTrainer(model, cfg, steps_per_epoch=len(train_loader))
+        state1, s1 = trainer.fit(
+            train_loader, run_dir=tmp_path, max_epochs_this_run=2
+        )
+        assert s1["epochs_run"] == 2 and not s1["completed"]
+
+        trainer2 = DetectionTrainer(
+            YoloDetector(num_classes=1, variant="n"), cfg,
+            steps_per_epoch=len(train_loader),
+        )
+        state2, s2 = trainer2.fit(train_loader, run_dir=tmp_path, resume=True)
+        assert s2["epochs_run"] == 4 and s2["completed"]
+        assert [r["epoch"] for r in s2["history"]] == [0, 1, 2, 3]
+        assert int(state2.step) == 4  # 1 step/epoch: resumed, not restarted
+        assert s2["best_fitness"] >= s1["best_fitness"]
+
     def test_params_changed_from_init(self, trained):
         model, trainer, state, _, _ = trained
         import jax
