@@ -430,10 +430,13 @@ class MoEFFN(nn.Module):
     #          naturally (tokens on data axis, experts on expert axis, one
     #          psum over E for the combine).
     # "gmm":   dropless megablox grouped-GEMM — expert-sorted tokens, two
-    #          grouped MXU passes; the large-E path (sort cost amortizes).
+    #          grouped MXU passes. EXPERIMENTAL/opt-in: the round-3 sweep
+    #          over (d, E) ∈ {128,256}×{32,64} at T=55k fwd+bwd found one
+    #          winning corner only — d=128, E=64: 22.4 ms vs sparse 23.5
+    #          (a 5% edge); at d=256 it loses ~35% to sparse (39.8 vs
+    #          29.2). Kept for parity/tests; auto never selects it.
     # "auto":  dense below _DENSE_TOKEN_LIMIT tokens; above it, sweep for
-    #          E ≤ _SWEEP_EXPERT_LIMIT else sparse (gmm stays opt-in: it is
-    #          a TPU-only kernel).
+    #          E ≤ _SWEEP_EXPERT_LIMIT else sparse.
     dispatch: str = "auto"
     # Fused Pallas expert FFN on the sparse path (rounds capacity up to the
     # kernel tile; requires d and hidden to be 128-lane friendly).
