@@ -51,6 +51,7 @@ def _single_image_nms(
     num_candidates: int,
     class_agnostic: bool,
     topk_mode: str = "exact",
+    early_exit: bool = False,
 ) -> NmsResult:
     from .boxes import pairwise_iou
 
@@ -79,8 +80,7 @@ def _single_image_nms(
         same_class = top_classes[:, None] == top_classes[None, :]
         iou = jnp.where(same_class, iou, 0.0)
 
-    def step(state, _):
-        alive_scores, = state
+    def pick_one(alive_scores):
         pick = jnp.argmax(alive_scores)
         pick_score = alive_scores[pick]
         picked_valid = pick_score > NEG_INF / 2
@@ -94,11 +94,43 @@ def _single_image_nms(
             jnp.where(picked_valid, pick_score, NEG_INF),
             picked_valid,
         )
-        return (alive_scores,), out
+        return alive_scores, out
 
-    (_,), (picks, pick_scores, pick_valid) = jax.lax.scan(
-        step, (top_scores,), None, length=max_det
-    )
+    if early_exit:
+        # Identical greedy sequence, but as a while_loop that stops once no
+        # candidate above threshold remains. Trained detectors emit far fewer
+        # than max_det survivors, so real serving/eval runs ~#objects steps
+        # instead of always max_det (vmap runs max-over-batch iterations).
+        # Exactness: the loop body is pick_one verbatim, and the untouched
+        # buffer tail equals what exhausted scan steps would emit
+        # (pick 0 / NEG_INF / invalid) — parity-tested vs the scan path.
+        def cond(state):
+            i, alive_scores, _ = state
+            return (i < max_det) & jnp.any(alive_scores > NEG_INF / 2)
+
+        def body(state):
+            i, alive_scores, bufs = state
+            alive_scores, (p, s, v) = pick_one(alive_scores)
+            picks, pick_scores, pick_valid = bufs
+            bufs = (
+                picks.at[i].set(p),
+                pick_scores.at[i].set(s),
+                pick_valid.at[i].set(v),
+            )
+            return i + 1, alive_scores, bufs
+
+        init_bufs = (
+            jnp.zeros((max_det,), jnp.int32),
+            jnp.full((max_det,), NEG_INF, jnp.float32),
+            jnp.zeros((max_det,), bool),
+        )
+        _, _, (picks, pick_scores, pick_valid) = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), top_scores, init_bufs)
+        )
+    else:
+        (picks, pick_scores, pick_valid) = jax.lax.scan(
+            lambda carry, _: pick_one(carry), top_scores, None, length=max_det
+        )[1]
 
     out_boxes = jnp.where(pick_valid[:, None], top_boxes[picks], 0.0)
     out_scores = jnp.where(pick_valid, pick_scores, 0.0)
@@ -115,6 +147,7 @@ def _single_image_nms(
         "num_candidates",
         "class_agnostic",
         "topk_mode",
+        "early_exit",
     ),
 )
 def batched_nms(
@@ -128,11 +161,15 @@ def batched_nms(
     num_candidates: int = 1024,
     class_agnostic: bool = False,
     topk_mode: str = "exact",
+    early_exit: bool = False,
 ) -> NmsResult:
     """NMS over a batch: ``boxes (B, N, 4)``, ``scores (B, N)``,
     optional ``classes (B, N)`` → fixed-shape :class:`NmsResult`.
 
     Defaults match the locked benchmark protocol (IoU 0.7, max_det 300).
+    ``early_exit=True`` swaps the fixed-trip suppression scan for an exact
+    while_loop that stops when no candidate remains (same results; faster
+    on real detections where survivors ≪ max_det).
     """
     if classes is None:
         classes = jnp.zeros(scores.shape, dtype=jnp.int32)
@@ -144,5 +181,6 @@ def batched_nms(
         num_candidates=num_candidates,
         class_agnostic=class_agnostic,
         topk_mode=topk_mode,
+        early_exit=early_exit,
     )
     return jax.vmap(fn)(boxes, scores, classes)
