@@ -46,6 +46,7 @@ def topk_candidates(
         )
     scores = jax.nn.sigmoid(cls_logits[..., 0].astype(jnp.float32))
     masked = jnp.where(scores > score_threshold, scores, NEG_INF)
+    k = min(k, masked.shape[-1])  # same clamp batched_nms applies to its pool
     top_scores, top_idx = lax.top_k(masked, k)  # (B, K)
     box_logits = jnp.take_along_axis(out["box_logits"], top_idx[..., None], axis=1)
     points = out["anchor_points"][top_idx]      # (B, K, 2)

@@ -223,6 +223,85 @@ def section_gmm(jax, jnp):
         del tokens, logits, w1, b1, w2, b2
 
 
+def section_serving(jax, jnp):
+    """Decode-after-top-k serving tail vs the full-decode path (serving.py),
+    bf16 and int8, B128 pool 512; plus the early-exit NMS variant (expected
+    neutral on random weights — its win is survivor-count-dependent)."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+    from multimodal_moe_tpu.serving import yolo_serving_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    model_i8 = YoloDetector(num_classes=1, variant="s", int8=True)
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    qvars = qz.quantize_detector(model, model_i8, variables, calib)
+
+    def make(m, tail, early):
+        def fn(v, img):
+            o = m.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+            if tail == "topk":
+                n = yolo_serving_nms(o, k=512, early_exit=early)
+            else:
+                n = batched_nms(
+                    o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                    iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                    num_candidates=512, early_exit=early,
+                )
+            return n.valid.sum()
+        return jax.jit(fn)
+
+    img = jnp.zeros((128, H, W, 3), jnp.uint8)
+    for name, m, v in (("bf16", model, variables), ("int8", model_i8, qvars)):
+        for tail, early in (("full", False), ("topk", False), ("topk", True)):
+            try:
+                fn = make(m, tail, early)
+                s = timed_scalar(fn, v, img, reps=4)
+                out("serving", mode=name, tail=tail, early_exit=early,
+                    ms_call=round(s * 1e3, 1), img_s=round(128 / s, 1))
+                del fn
+            except Exception as e:
+                out("serving", mode=name, tail=tail, early_exit=early,
+                    error=str(e)[:160])
+
+
+def section_tracei8(jax, jnp):
+    """xplane trace of the int8 B128 serving graph (topk tail) for offline
+    per-op analysis (scripts/analyze_xplane.py) — where does the remaining
+    87ms-class budget live after byte-halving."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.serving import yolo_serving_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    model_i8 = YoloDetector(num_classes=1, variant="s", int8=True)
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    qvars = qz.quantize_detector(model, model_i8, variables, calib)
+
+    @jax.jit
+    def fn(v, img):
+        o = model_i8.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+        return yolo_serving_nms(o, k=512).valid.sum()
+
+    img = jnp.zeros((128, H, W, 3), jnp.uint8)
+    float(np.asarray(fn(qvars, img)))  # compile+warm
+    trace_dir = "/tmp/xplane_yolo_i8_b128"
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(4):
+        r = fn(qvars, img)
+    float(np.asarray(r))
+    jax.profiler.stop_trace()
+    out("tracei8", trace_dir=trace_dir)
+
+
 def section_trace(jax, jnp):
     from multimodal_moe_tpu.models.yolo import YoloDetector
     from multimodal_moe_tpu.ops.nms import batched_nms
