@@ -24,11 +24,26 @@ from ..ops.coco_map import evaluate_detections
 from ..ops.nms import batched_nms
 
 
-def make_inference_step(model, *, use_sigmoid: bool = True):
+def make_inference_step(
+    model,
+    *,
+    use_sigmoid: bool = True,
+    topk_decode: bool = True,
+    num_candidates: int = 1024,
+    score_threshold: float = 0.001,
+):
     """Jitted forward taking ``variables`` as an argument: build ONCE and
     reuse across epochs/checkpoints — rebuilding a ``jax.jit`` per epoch
     (as a naive per-epoch ``make_inference_fn`` does) accumulates loaded
-    executables in the client for the life of the process."""
+    executables in the client for the life of the process.
+
+    For single-class anchor-based detectors (YOLO family), the default
+    ``topk_decode`` returns the ``num_candidates``-candidate pool with DFL
+    decode run only on those rows (serving.topk_candidates) — bit-identical
+    to full decode + the NMS preselect at the same pool size, but the
+    full-anchor decode is dead code XLA removes. ``num_candidates`` /
+    ``score_threshold`` must match the downstream NMS call (they do:
+    both use the batched_nms defaults)."""
     context_aware = getattr(model, "context_aware", False)
 
     # Params are jit arguments, not closure constants (closure-constant
@@ -41,6 +56,17 @@ def make_inference_step(model, *, use_sigmoid: bool = True):
         if context_aware and context_ids is not None:
             kwargs["context_ids"] = context_ids
         out = model.apply(variables, images, train=False, **kwargs)
+        if (
+            topk_decode
+            and use_sigmoid
+            and "anchor_points" in out
+            and out["cls_logits"].shape[-1] == 1
+        ):
+            from ..serving import topk_candidates
+
+            return topk_candidates(
+                out, k=num_candidates, score_threshold=score_threshold
+            )
         scores = out["cls_logits"][..., 0]
         if use_sigmoid:
             scores = jax.nn.sigmoid(scores)
