@@ -121,7 +121,50 @@ def make_decoder():
     return lambda ps: np.stack([pil_decode(p) for p in ps]), pil_decode, "pil"
 
 
+def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> None:
+    """Single-client discipline on the tunneled TPU: a second client while a
+    trainer/eval/perf process is active wedges the whole machine (memory:
+    axon-tunnel-wedge-recovery). Wait for any other device-using process of
+    this repo to finish, then give the tunnel a quiet period."""
+    import glob
+
+    markers = (
+        "scripts/train_yolo", "scripts/train_rtdetr", "scripts/train_moe",
+        "scripts/train_vision_baseline", "scripts/eval_detector",
+        "scripts/perf_round3", "chain7.sh",
+    )
+
+    def busy() -> "str | None":
+        me = str(os.getpid())
+        for p in glob.glob("/proc/[0-9]*/cmdline"):
+            pid = p.split("/")[2]
+            if pid == me:
+                continue
+            try:
+                cmd = open(p, "rb").read().decode(errors="replace").replace("\0", " ")
+            except OSError:
+                continue
+            for m in markers:
+                if m in cmd:
+                    return f"pid {pid}: ...{m}"
+        return None
+
+    deadline = time.time() + max_wait_s
+    waited = False
+    while time.time() < deadline:
+        b = busy()
+        if b is None:
+            break
+        waited = True
+        print(f"[bench] waiting for exclusive device ({b})", file=sys.stderr)
+        time.sleep(30.0)
+    if waited:
+        print(f"[bench] device free; {quiet_s:.0f}s tunnel quiet period", file=sys.stderr)
+        time.sleep(quiet_s)
+
+
 def main() -> None:
+    _wait_for_exclusive_device(float(os.environ.get("MMOE_BENCH_WAIT_S", "9000")))
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR / "xla_cache"))
