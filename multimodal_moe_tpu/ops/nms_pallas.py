@@ -18,6 +18,13 @@ int32 so the lane dimension is K (≥128-aligned); K defaults to 512 → the
 IoU matrix is 1MB of VMEM.
 
 Grid: one program per image.
+
+Status (round 3): **experimental / opt-in**. Bit-exact parity holds
+(tests/test_nms_pallas.py) but the kernel is wall-clock neutral vs the XLA
+scan at serving pool sizes (K ≤ 1024) across two rounds of measurement —
+the suppression loop is not where serving time lives (docs/performance.md).
+The production path is ops/nms.py (XLA scan, or its exact ``early_exit``
+while_loop for real detections where survivors ≪ max_det).
 """
 
 from __future__ import annotations
