@@ -131,7 +131,7 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
     markers = (
         "scripts/train_yolo", "scripts/train_rtdetr", "scripts/train_moe",
         "scripts/train_vision_baseline", "scripts/eval_detector",
-        "scripts/perf_round3", "chain7.sh", "chain8.sh",
+        "scripts/perf_round3", "/tmp/chain",
     )
 
     def busy() -> "str | None":

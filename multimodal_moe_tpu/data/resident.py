@@ -23,6 +23,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
+from ..utils import watchdog
 from .pipeline import ZODMoEVisionDataset, _resolve_path
 
 
@@ -154,6 +155,7 @@ class ResidentDetectionLoader:
                 # block_until_ready does not synchronize on tunneled
                 # runtimes; a 1-element fetch does.
                 _np.asarray(d[(0,) * d.ndim])
+                watchdog.beat("resident upload")
 
             if a.nbytes <= chunk_bytes:
                 d = jax.device_put(a, self._device)

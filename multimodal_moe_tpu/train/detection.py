@@ -26,6 +26,7 @@ import numpy as np
 
 from ..losses.tal import yolo_loss
 from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..utils import watchdog
 from .state import CheckpointManager, TrainState, make_optimizer
 
 
@@ -256,6 +257,9 @@ class DetectionTrainer:
                     for k, v in host.items():
                         epoch_metrics.setdefault(k, []).append(float(v))
                 pending.clear()
+                # A completed device_get proves the device round-trip is
+                # alive — heartbeat for the tunnel-wedge deadman.
+                watchdog.beat(f"train epoch {epoch}")
 
             for batch in prefetch_to_device(
                 iter(train_loader), sharding=batch_sharding(self.mesh)
@@ -284,6 +288,7 @@ class DetectionTrainer:
 
             history.append(row)
             ckpt.save_last(state)
+            watchdog.beat(f"checkpoint epoch {epoch}")
             if fit > best_fitness:
                 best_fitness = fit
                 ckpt.save_best(state)

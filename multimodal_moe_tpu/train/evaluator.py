@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops.coco_map import evaluate_detections
 from ..ops.nms import batched_nms
+from ..utils import watchdog
 
 
 def make_inference_step(
@@ -198,6 +199,7 @@ def evaluate_detector(
         nms_boxes = np.asarray(nms.boxes)
         nms_scores = np.asarray(nms.scores)
         nms_valid = np.asarray(nms.valid)
+        watchdog.beat("eval batch")
         valid_rows = np.asarray(batch.get("batch_valid", np.ones(len(nms_boxes), bool)))
         gtb = np.asarray(batch["gt_boxes"]) if gt_from_batch else None
         gtm = np.asarray(batch["gt_mask"]) if gt_from_batch else None

@@ -72,6 +72,13 @@ def _resolve_ckpt(weights: Path, which: str) -> "tuple[Path, dict]":
 
 def main() -> None:
     args = parse_args()
+
+    # Deadman for the tunneled TPU runtime (wedged RPCs hang forever;
+    # exit 3 lets orchestration relaunch with --resume). MMOE_STALL_TIMEOUT_S
+    # overrides; 0 disables. Grace covers restore + cold XLA compile.
+    from multimodal_moe_tpu.utils import watchdog
+
+    watchdog.enable(900.0, label="eval_detector", initial_grace_s=5400.0)
     from multimodal_moe_tpu.data.pipeline import (
         DetectionLoader,
         ZODMoEDataConfig,

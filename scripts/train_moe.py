@@ -63,6 +63,13 @@ def parse_args() -> argparse.Namespace:
 def main() -> None:
     args = parse_args()
 
+    # Deadman for the tunneled TPU runtime (wedged RPCs hang forever;
+    # exit 3 lets orchestration relaunch with --resume). MMOE_STALL_TIMEOUT_S
+    # overrides; 0 disables. Grace covers restore + cold XLA compile.
+    from multimodal_moe_tpu.utils import watchdog
+
+    watchdog.enable(900.0, label="train_moe", initial_grace_s=5400.0)
+
     # Multi-host entry: no-op single-host (SURVEY.md §5.8 TPU-native design).
     from multimodal_moe_tpu.parallel.distributed import (
         loader_shard,
