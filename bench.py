@@ -530,5 +530,31 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
     return out
 
 
+def _backend_init_failure(exc: BaseException) -> bool:
+    """True for the tunneled runtime's transient outage signature (client
+    init raises instead of hanging once the remote answers)."""
+    s = str(exc)
+    return "Unable to initialize backend" in s or "UNAVAILABLE" in s
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # The remote TPU service has been observed to refuse client init for
+        # a while after a tunnel wedge (2026-08-17: UNAVAILABLE for ~45 min,
+        # healthy afterwards). Retry the WHOLE process after a quiet period
+        # — jax caches a failed backend init, so an in-process retry can't
+        # recover. Bounded by MMOE_BENCH_RETRY re-execs (default 2).
+        tries = int(os.environ.get("MMOE_BENCH_RETRY", "2"))
+        if _backend_init_failure(e) and tries > 0 and not SMOKE:
+            quiet = float(os.environ.get("MMOE_BENCH_RETRY_QUIET_S", "600"))
+            print(
+                f"[bench] backend init failed ({e}); re-exec in {quiet:.0f}s "
+                f"({tries} retries left)",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(quiet)
+            env = dict(os.environ, MMOE_BENCH_RETRY=str(tries - 1))
+            os.execve(sys.executable, [sys.executable, __file__], env)
+        raise

@@ -40,3 +40,11 @@ def test_pick_headline_skips_failed_sections():
 def test_pick_headline_all_failed_raises():
     with pytest.raises(RuntimeError, match="no serving rate"):
         bench._pick_headline({"bf16_b128": None, "int8_b128": 0})
+
+
+def test_backend_init_failure_signature():
+    assert bench._backend_init_failure(
+        RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE: ...")
+    )
+    assert bench._backend_init_failure(RuntimeError("UNAVAILABLE: TPU setup"))
+    assert not bench._backend_init_failure(RuntimeError("shape mismatch"))
