@@ -14,6 +14,9 @@ from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
+
+from ..quant import QT, absmax_sow_kwargs, quantize_to
 
 Dtype = Any
 
@@ -29,6 +32,39 @@ class _ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.kernel // 2
+        if isinstance(x, QT):
+            # int8 serving branch (PTQ — quant.py): BatchNorm (eps 1e-5 here,
+            # vs 1e-3 in layers.ConvBNAct — the fold dispatches on the module
+            # naming) is folded into the int8 weights offline; the fp32
+            # epilogue (dequant + bias + ReLU + requant) fuses into the conv
+            # so the tensor materialized in HBM is int8.
+            k = self.kernel
+            cin = x.q.shape[-1]
+            w_q = self.variable(
+                "quant", "w_q",
+                lambda: jnp.zeros((k, k, cin, self.features), jnp.int8),
+            )
+            s_w = self.variable(
+                "quant", "s_w", lambda: jnp.ones((self.features,), jnp.float32)
+            )
+            b = self.variable(
+                "quant", "b", lambda: jnp.zeros((self.features,), jnp.float32)
+            )
+            s_out = self.variable(
+                "quant", "s_out", lambda: jnp.ones((), jnp.float32)
+            )
+            y32 = lax.conv_general_dilated(
+                x.q, w_q.value,
+                (self.strides, self.strides),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = y32.astype(jnp.float32) * (x.s * s_w.value) + b.value
+            if self.act:
+                y = nn.relu(y)
+            return QT(quantize_to(y, s_out.value), s_out.value)
+
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -44,7 +80,16 @@ class _ConvBN(nn.Module):
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,
         )(x)
-        return nn.relu(x) if self.act else x
+        y = nn.relu(x) if self.act else x
+        # PTQ calibration statistic (stored only under mutable=['qcal'];
+        # skipped during init so train state never grows a qcal collection).
+        if not self.is_initializing():
+            self.sow(
+                "qcal", "out_absmax",
+                jnp.max(jnp.abs(y)).astype(jnp.float32),
+                **absmax_sow_kwargs(),
+            )
+        return y
 
 
 class BottleneckBlock(nn.Module):
@@ -59,23 +104,54 @@ class BottleneckBlock(nn.Module):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
         out_ch = self.features * 4
         residual = x
+        quant = isinstance(x, QT)
+        in_ch = x.q.shape[-1] if quant else x.shape[-1]
 
         y = _ConvBN(self.features, 1, 1, **kw)(x, train)
         y = _ConvBN(self.features, 3, self.strides, **kw)(y, train)
         y = _ConvBN(out_ch, 1, 1, act=False, **kw)(y, train)
 
-        if residual.shape[-1] != out_ch or self.strides != 1:
+        if in_ch != out_ch or self.strides != 1:
             if self.vd and self.strides != 1:
                 # -vd: avg-pool then 1×1 (keeps information the strided 1×1 drops)
-                residual = nn.avg_pool(
-                    residual, (2, 2), strides=(2, 2), padding="SAME"
-                )
+                if quant:
+                    # avg-pool is linear: pool the codes in fp32 and round
+                    # back at the unchanged scale (avg ≤ max, so the input
+                    # scale covers the output range; ≤0.5 LSB rounding error).
+                    pooled = nn.avg_pool(
+                        residual.q.astype(jnp.float32), (2, 2),
+                        strides=(2, 2), padding="SAME",
+                    )
+                    residual = QT(
+                        jnp.clip(jnp.round(pooled), -127, 127).astype(jnp.int8),
+                        residual.s,
+                    )
+                else:
+                    residual = nn.avg_pool(
+                        residual, (2, 2), strides=(2, 2), padding="SAME"
+                    )
                 residual = _ConvBN(out_ch, 1, 1, act=False, **kw)(residual, train)
             else:
                 residual = _ConvBN(out_ch, 1, self.strides, act=False, **kw)(
                     residual, train
                 )
-        return nn.relu(y + residual)
+        if quant:
+            s_add = self.variable(
+                "quant", "s_add_0", lambda: jnp.ones((), jnp.float32)
+            )
+            z = nn.relu(
+                y.q.astype(jnp.float32) * y.s
+                + residual.q.astype(jnp.float32) * residual.s
+            )
+            return QT(quantize_to(z, s_add.value), s_add.value)
+        out = nn.relu(y + residual)
+        if not self.is_initializing():
+            self.sow(
+                "qcal", "add0_absmax",
+                jnp.max(jnp.abs(out)).astype(jnp.float32),
+                **absmax_sow_kwargs(),
+            )
+        return out
 
 
 class ResNet(nn.Module):
@@ -104,7 +180,14 @@ class ResNet(nn.Module):
             x = _ConvBN(self.width, 3, 1, **kw)(x, train)
         else:
             x = _ConvBN(self.width, 7, 2, **kw)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if isinstance(x, QT):
+            # max-pool is monotone: pool the int8 codes, scale unchanged
+            x = QT(
+                nn.max_pool(x.q, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))),
+                x.s,
+            )
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         block_cls = (
             nn.remat(BottleneckBlock, static_argnums=(2,)) if self.remat
@@ -127,6 +210,8 @@ class ResNet(nn.Module):
 
         if self.num_classes is None:
             return feats
+        if isinstance(x, QT):
+            x = x.q.astype(jnp.float32) * x.s
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype)(x)
 

@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..ops.deformable import ms_deformable_attention
 from ..ops.deformable_pallas import ms_deformable_attention_pallas
+from ..quant import q_from_images
 from .layers import CSPStage, ConvBNAct, MLP
 from .resnet import ResNet
 
@@ -319,6 +320,10 @@ class RTDETRDetector(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     remat: bool = False  # rematerialize backbone blocks (HBM ↔ recompute)
+    # PTQ serving: int8 backbone (the ResNet-vd convs carry most of the
+    # forward FLOPs), fp encoder/decoder. Serving variables =
+    # {'quant': ..., 'params': ...} via quant.merge_serving_variables.
+    int8: bool = False
 
     denoising_capable: bool = True  # trainer passes GT + a 'denoise' rng
 
@@ -336,7 +341,15 @@ class RTDETRDetector(nn.Module):
             dtype=self.dtype, axis_name=self.axis_name, remat=self.remat,
             name="backbone",
         )
-        c2, c3, c4, c5 = backbone(images, train)
+        bb_in = q_from_images(images) if self.int8 else images
+        c2, c3, c4, c5 = backbone(bb_in, train)
+        if self.int8:
+            # dequantize the stage outputs the encoder consumes (c2 is unused
+            # at this scale set — dead code XLA removes)
+            c3, c4, c5 = (
+                f.q.astype(self.dtype) * f.s.astype(self.dtype)
+                for f in (c3, c4, c5)
+            )
         feats = HybridEncoder(
             hidden_dim=self.hidden_dim, num_heads=self.num_heads,
             dtype=self.dtype, axis_name=self.axis_name, arch=self.arch,

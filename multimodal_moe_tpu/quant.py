@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _BN_EPS = 1e-3  # must match models.layers.ConvBNAct's BatchNorm epsilon
+_RESNET_BN_EPS = 1e-5  # must match models.resnet._ConvBN's BatchNorm epsilon
 _MIN_SCALE = 1e-12
 
 
@@ -139,14 +140,23 @@ def calibrate(model, variables, batches: Iterable, **apply_kwargs) -> Dict:
 
 
 def _fold_convbn(pnode, snode, qcal_node):
-    """ConvBNAct params (+ batch stats, + calibrated out absmax) →
-    {w_q, s_w, b, s_out}."""
-    kernel = np.asarray(pnode["conv"]["kernel"], np.float64)  # (k,k,cin,cout)
-    gamma = np.asarray(pnode["bn"]["scale"], np.float64)
-    beta = np.asarray(pnode["bn"]["bias"], np.float64)
-    mean = np.asarray(snode["bn"]["mean"], np.float64)
-    var = np.asarray(snode["bn"]["var"], np.float64)
-    inv = gamma / np.sqrt(var + _BN_EPS)
+    """Conv+BN params (+ batch stats, + calibrated out absmax) →
+    {w_q, s_w, b, s_out}.
+
+    Handles both block layouts: ``models.layers.ConvBNAct`` names its
+    children ``conv``/``bn`` (BN eps 1e-3); ``models.resnet._ConvBN`` keeps
+    Flax auto-names ``Conv_0``/``BatchNorm_0`` (BN eps 1e-5) so existing
+    ResNet/RT-DETR checkpoints keep their param paths."""
+    if "conv" in pnode:
+        conv_key, bn_key, eps = "conv", "bn", _BN_EPS
+    else:
+        conv_key, bn_key, eps = "Conv_0", "BatchNorm_0", _RESNET_BN_EPS
+    kernel = np.asarray(pnode[conv_key]["kernel"], np.float64)  # (k,k,cin,cout)
+    gamma = np.asarray(pnode[bn_key]["scale"], np.float64)
+    beta = np.asarray(pnode[bn_key]["bias"], np.float64)
+    mean = np.asarray(snode[bn_key]["mean"], np.float64)
+    var = np.asarray(snode[bn_key]["var"], np.float64)
+    inv = gamma / np.sqrt(var + eps)
     w = kernel * inv  # fold BN scale into conv (per out-channel)
     b = beta - mean * inv
     s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, _MIN_SCALE)

@@ -46,9 +46,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument(
         "--int8", action="store_true",
-        help="PTQ int8 serving path (yolo backend): calibrate on train "
-        "batches, fold BN, quantize, eval the int8 forward. The quant tree "
-        "is cached as int8_quant.npz beside the checkpoint.",
+        help="PTQ int8 serving path: calibrate on train batches, fold BN, "
+        "quantize, eval the int8 forward (yolo/moe: full conv trunk; "
+        "rtdetr: backbone, fp encoder/decoder). The quant tree is cached "
+        "as int8_quant.npz beside the checkpoint.",
     )
     p.add_argument("--int8-calib-batches", type=int, default=8)
     p.add_argument("--int8-recalibrate", action="store_true")
@@ -151,8 +152,6 @@ def main() -> None:
     fp_model, fp_variables = model, variables
 
     if args.int8:
-        if family == "rtdetr":
-            raise SystemExit("--int8 supports the yolo and moe backends only")
         import numpy as np
 
         from multimodal_moe_tpu import quant as qz
@@ -164,6 +163,16 @@ def main() -> None:
                 num_classes=model_cfg.get("num_classes", 1),
                 variant=variant,
                 num_experts=model_cfg.get("num_experts", 4),
+                int8=True,
+            )
+        elif family == "rtdetr":
+            from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+            model_q = RTDETRDetector(
+                num_classes=model_cfg.get("num_classes", 1),
+                hidden_dim=model_cfg.get("hidden_dim", 256),
+                num_queries=model_cfg.get("num_queries", 300),
+                num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
                 int8=True,
             )
         else:
@@ -195,7 +204,9 @@ def main() -> None:
             qvars = qz.quantize_detector(model, model_q, variables, calib)
             qz.save_quant_npz(qnpz, qvars)
             print(f"Calibrated on {len(calib)} train batches; saved -> {qnpz}")
-        if family == "moe":
+        if family in ("moe", "rtdetr"):
+            # partially-quantized: fp blocks (MoE FFNs / DETR encoder+decoder)
+            # keep reading 'params' beside the int8 trunk's 'quant' tree
             qvars = qz.merge_serving_variables(qvars, variables)
         model, variables = model_q, qvars
 

@@ -7,6 +7,7 @@ Sections (select with argv, default all):
   yolo     — B128 fwd+NMS serving config; exact vs approx top-k preselect
   int8     — int8 PTQ serving vs bf16 at B64/128/192 (quant.py)
   batches  — RT-DETR fwd and MoE-YOLO fwd/train batch-scaling tables
+  rtdetri8 — RT-DETR serving ladder: fp32 / bf16 / int8-backbone × each
   gmm      — sweep/sparse/gmm fwd+bwd at E=32/64 with wider d (gmm's fate)
   trace    — xplane trace of YOLO B64 fwd+NMS (writes trace dir for offline
              per-op stall analysis)
@@ -267,6 +268,54 @@ def section_serving(jax, jnp):
             except Exception as e:
                 out("serving", mode=name, tail=tail, early_exit=early,
                     error=str(e)[:160])
+
+
+def section_rtdetri8(jax, jnp):
+    """RT-DETR serving dtype/quant ladder: fp32 (the banked baseline
+    config — train/eval construct the model at the default dtype), bf16
+    encoder/decoder, int8 backbone (quant.py) under each — the two serving
+    levers for the slowest family."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+    m_fp = RTDETRDetector(num_classes=1)
+    v_fp = jax.jit(lambda r: m_fp.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    qmerged = None
+
+    for name, dt, int8 in (
+        ("fp32", jnp.float32, False),
+        ("bf16", jnp.bfloat16, False),
+        ("i8_fp32", jnp.float32, True),
+        ("i8_bf16", jnp.bfloat16, True),
+    ):
+        try:
+            m = RTDETRDetector(num_classes=1, dtype=dt, int8=int8)
+            if int8:
+                if qmerged is None:
+                    qvars = qz.quantize_detector(m_fp, m, v_fp, calib)
+                    qmerged = qz.merge_serving_variables(qvars, v_fp)
+                v = qmerged
+            else:
+                v = v_fp
+
+            def fn(v, img, m=m):
+                o = m.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+                return o["cls_logits"].astype(jnp.float32).sum()
+
+            fn_j = jax.jit(fn)
+            for b in (16, 64):
+                img = jnp.zeros((b, H, W, 3), jnp.uint8)
+                s = timed_scalar(fn_j, v, img, reps=4)
+                out("rtdetri8", mode=name, batch=b,
+                    ms_call=round(s * 1e3, 1), img_s=round(b / s, 1))
+                del img
+            del fn_j, m
+        except Exception as e:
+            out("rtdetri8", mode=name, error=str(e)[:160])
 
 
 def section_tracei8(jax, jnp):

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Convert a trained YOLO run to the int8 PTQ serving format.
+"""Convert a trained detector run to the int8 PTQ serving format.
 
 Standalone converter for serving workflows (eval_detector --int8 performs
 the same conversion inline and caches it): calibrates activation scales on
 train-split batches, folds BN, quantizes weights per-channel, and writes
-``int8_quant_<ckpt>.npz`` beside the checkpoint. Serving-path design and
-error budget: multimodal_moe_tpu/quant.py. No reference counterpart — the
+``int8_quant_<ckpt>.npz`` beside the checkpoint. Covers all three families
+(the family is read from model_config.json: yolo / moe full conv trunk;
+rtdetr backbone with fp encoder/decoder). Serving-path design and error
+budget: multimodal_moe_tpu/quant.py. No reference counterpart — the
 reference serves through Ultralytics fp16 CUDA with no quantized
 deployment story.
 """
@@ -66,8 +68,30 @@ def main() -> None:
     )
     variant = cfg_json.get("variant", "s")
     num_classes = cfg_json.get("num_classes", 1)
+    family = cfg_json.get("family", "yolo")
 
-    model = YoloDetector(num_classes=num_classes, variant=variant)
+    if family == "moe":
+        from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+
+        mk = lambda **kw: MoEYoloDetector(
+            num_classes=num_classes, variant=variant,
+            num_experts=cfg_json.get("num_experts", 4), **kw,
+        )
+    elif family == "rtdetr":
+        from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+        mk = lambda **kw: RTDETRDetector(
+            num_classes=num_classes,
+            hidden_dim=cfg_json.get("hidden_dim", 256),
+            num_queries=cfg_json.get("num_queries", 300),
+            num_decoder_layers=cfg_json.get("num_decoder_layers", 6),
+            **kw,
+        )
+    else:
+        mk = lambda **kw: YoloDetector(
+            num_classes=num_classes, variant=variant, **kw
+        )
+    model = mk()
     trainer = DetectionTrainer(
         model,
         DetTrainConfig(variant=variant, img_h=args.img_h, img_w=args.img_w,
@@ -95,7 +119,7 @@ def main() -> None:
         if len(calib) >= args.calib_batches:
             break
 
-    model_q = YoloDetector(num_classes=num_classes, variant=variant, int8=True)
+    model_q = mk(int8=True)
     qvars = qz.quantize_detector(model, model_q, variables, calib)
     out = Path(args.out) if args.out else ckpt_path.parent / f"int8_quant_{ckpt_path.name}.npz"
     qz.save_quant_npz(out, qvars)

@@ -155,6 +155,56 @@ def test_moe_yolo_int8_parity():
         assert s > 0 and s != 1.0
 
 
+def test_rtdetr_int8_backbone_parity():
+    """RT-DETR serving: int8 ResNet-vd backbone ≈ fp backbone stage outputs;
+    the full forward (fp encoder/decoder via merged serving variables) runs
+    and stays finite. Final boxes aren't compared directly — with random
+    weights the encoder's top-k query selection can flip under quantization
+    noise, which is a selection discontinuity, not a quantization error."""
+    from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
+
+    h, w = 64, 96
+    kw = dict(
+        num_classes=1, hidden_dim=32, num_queries=16, num_decoder_layers=1,
+        num_heads=2, backbone_depths=(1, 1, 1, 1), num_denoising_groups=0,
+    )
+    m = RTDETRDetector(**kw)
+    mq = RTDETRDetector(**kw, int8=True)
+    rng = np.random.default_rng(4)
+    imgs = _rand_images(rng, 2, h, w)
+    variables = m.init(jax.random.PRNGKey(0), imgs[0], train=False)
+    qvars = Q.quantize_detector(m, mq, variables, imgs)
+    serving = Q.merge_serving_variables(qvars, variables)
+
+    cap = lambda mdl, _: mdl.name == "backbone"
+    _, mods_fp = m.apply(
+        variables, imgs[0], train=False,
+        capture_intermediates=cap, mutable=["intermediates"],
+    )
+    out_q, mods_q = mq.apply(
+        serving, imgs[0], train=False,
+        capture_intermediates=cap, mutable=["intermediates"],
+    )
+    feats_fp = mods_fp["intermediates"]["backbone"]["__call__"][0]
+    feats_q = mods_q["intermediates"]["backbone"]["__call__"][0]
+    assert len(feats_fp) == len(feats_q) == 4
+    for f_fp, f_q in zip(feats_fp, feats_q):
+        assert isinstance(f_q, Q.QT) and f_q.q.dtype == jnp.int8
+        a = np.asarray(f_fp).ravel()
+        b = np.asarray(Q.dequantize(f_q)).ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.99
+    # fp head consumed the dequantized features without blowing up
+    assert out_q["boxes"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out_q["boxes"])).all()
+    assert np.isfinite(np.asarray(out_q["cls_logits"])).all()
+    # the vd avg-pool downsample + bottleneck requant scales were calibrated
+    names = [
+        "/".join(k.key for k in kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(qvars["quant"])[0]
+    ]
+    assert any("BottleneckBlock" in n and n.endswith("s_add_0") for n in names)
+
+
 def test_calibration_accumulates_max():
     """qcal absmax is the max over *all* calibration batches."""
     m = ConvBNAct(8, 1, act=False)
