@@ -6,6 +6,7 @@ as jit args, scalar-checksum fetch barriers, best-of-N trials).
 Sections (select with argv, default all):
   yolo     — B128 fwd+NMS serving config; exact vs approx top-k preselect
   int8     — int8 PTQ serving vs bf16 at B64/128/192 (quant.py)
+  latency  — single-request serving latency p50/p95 at B1-16, bf16 vs int8
   batches  — RT-DETR fwd and MoE-YOLO fwd/train batch-scaling tables
   rtdetri8 — RT-DETR serving ladder: fp32 / bf16 / int8-backbone × each
   gmm      — sweep/sparse/gmm fwd+bwd at E=32/64 with wider d (gmm's fate)
@@ -118,6 +119,58 @@ def section_int8(jax, jnp):
                 del fn, img
             except Exception as e:
                 out("int8", mode=name, batch=batch, error=str(e)[:160])
+
+
+def section_latency(jax, jnp, batches=(1, 2, 4, 8, 16), calls=40):
+    """Serving latency (not throughput): per-call wall time at small batch,
+    one request in flight, p50/p95 over 40 synced calls — the production
+    serving metric the throughput tables hide. On this host the number
+    includes the tunnel RTT floor (measure it via the reported b1 floor);
+    on a local v5e host the device-side component is what remains."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    model_i8 = YoloDetector(num_classes=1, variant="s", int8=True)
+    rng = np.random.default_rng(0)
+    qvars = qz.quantize_detector(
+        model, model_i8, variables,
+        [jnp.asarray(rng.random((2, H, W, 3), np.float32))],
+    )
+
+    def make(m, batch):
+        def fn(v, img):
+            o = m.apply(v, img.astype(jnp.float32) / 255.0, train=False)
+            n = batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=512,
+            )
+            return n.valid.sum()
+        return jax.jit(fn), jnp.zeros((batch, H, W, 3), jnp.uint8)
+
+    for name, m, v in (("bf16", model, variables), ("int8", model_i8, qvars)):
+        for batch in batches:
+            try:
+                fn, img = make(m, batch)
+                float(np.asarray(fn(v, img)))  # compile
+                lat = []
+                for _ in range(calls):
+                    t0 = time.perf_counter()
+                    float(np.asarray(fn(v, img)))  # full sync per call
+                    lat.append(time.perf_counter() - t0)
+                lat.sort()
+                out("latency", mode=name, batch=batch,
+                    p50_ms=round(lat[len(lat) // 2] * 1e3, 2),
+                    p95_ms=round(lat[int(len(lat) * 0.95)] * 1e3, 2),
+                    min_ms=round(lat[0] * 1e3, 2))
+                del fn, img
+            except Exception as e:
+                out("latency", mode=name, batch=batch, error=str(e)[:160])
 
 
 def section_batches(jax, jnp):
