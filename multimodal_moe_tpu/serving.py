@@ -77,3 +77,79 @@ def yolo_serving_nms(
         num_candidates=k,
         early_exit=early_exit,
     )
+
+
+def detr_topk_select(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    *,
+    max_det: int = 300,
+    score_threshold: float = 0.001,
+) -> NmsResult:
+    """NMS-free selection for the DETR family (per image, top ``max_det``
+    queries by score) — the deployment tail RT-DETR exists for (ref:
+    src/models/vision/rtdetr_thirdparty.py evaluates through pycocotools
+    directly on query outputs; no NMS anywhere in that path)."""
+    k = min(max_det, scores.shape[-1])
+    top_scores, top_idx = lax.top_k(scores, k)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    valid = top_scores > score_threshold
+    classes = jnp.where(valid, 0, -1).astype(jnp.int32)
+    return NmsResult(
+        jnp.where(valid[..., None], top_boxes, 0.0),
+        jnp.where(valid, top_scores, 0.0),
+        classes,
+        valid,
+    )
+
+
+def make_serving_step(
+    model,
+    *,
+    pool: int = 512,
+    iou_threshold: float = 0.7,
+    score_threshold: float = 0.001,
+    max_det: int = 300,
+    early_exit: bool = False,
+):
+    """ONE jitted serving executable: uint8 images → :class:`NmsResult`.
+
+    Everything — normalization, forward, candidate decode, NMS / top-k —
+    runs in-graph (the tunneled runtime has no host callbacks, and one
+    executable keeps the device queue shallow). Family is resolved from
+    the model's *outputs*: DETR-style heads (no ``anchor_points``) take
+    the NMS-free top-k tail; single-class anchor detectors take the
+    decode-after-top-k NMS tail (:func:`yolo_serving_nms`); multi-class
+    anchor heads fall back to full decode + batched NMS. Params travel as
+    jit arguments (closure-constant weights inflate the executable and
+    poison tunnel bandwidth — see bench.py design notes).
+    """
+    context_aware = getattr(model, "context_aware", False)
+
+    @jax.jit
+    def step(variables, images_u8, context_ids=None):
+        images = images_u8.astype(jnp.float32) / 255.0
+        kwargs = {}
+        if context_aware and context_ids is not None:
+            kwargs["context_ids"] = context_ids
+        out = model.apply(variables, images, train=False, **kwargs)
+        if "anchor_points" not in out:  # DETR family: NMS-free
+            scores = jax.nn.sigmoid(out["cls_logits"][..., 0].astype(jnp.float32))
+            return detr_topk_select(
+                out["boxes"], scores,
+                max_det=max_det, score_threshold=score_threshold,
+            )
+        if out["cls_logits"].shape[-1] == 1:
+            return yolo_serving_nms(
+                out, k=pool, iou_threshold=iou_threshold,
+                score_threshold=score_threshold, max_det=max_det,
+                early_exit=early_exit,
+            )
+        scores = jax.nn.sigmoid(out["cls_logits"][..., 0])
+        return batched_nms(
+            out["boxes"], scores,
+            iou_threshold=iou_threshold, score_threshold=score_threshold,
+            max_det=max_det, num_candidates=pool, early_exit=early_exit,
+        )
+
+    return step

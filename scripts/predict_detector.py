@@ -57,52 +57,6 @@ def parse_args() -> argparse.Namespace:
     return p.parse_args()
 
 
-def _resolve_ckpt(weights: Path, which: str):
-    """Accept a run dir, a weights dir, or a checkpoint dir (mirrors
-    eval_detector)."""
-    cfg = {}
-    for probe in (weights, weights.parent, weights.parent.parent):
-        mc = probe / "model_config.json"
-        if mc.exists():
-            cfg = json.loads(mc.read_text())
-            break
-    if (weights / "weights" / which).exists():
-        return weights / "weights" / which, cfg
-    if (weights / which).exists():
-        return weights / which, cfg
-    return weights, cfg
-
-
-def _build_model(model_cfg: dict, *, int8: bool = False):
-    family = model_cfg.get("family", "yolo")
-    num_classes = model_cfg.get("num_classes", 1)
-    variant = model_cfg.get("variant", "s")
-    if family == "moe":
-        from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
-
-        return family, MoEYoloDetector(
-            num_classes=num_classes, variant=variant,
-            num_experts=model_cfg.get("num_experts", 4),
-            **({"int8": True} if int8 else {}),
-        )
-    if family == "rtdetr":
-        from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
-
-        return family, RTDETRDetector(
-            num_classes=num_classes,
-            hidden_dim=model_cfg.get("hidden_dim", 256),
-            num_queries=model_cfg.get("num_queries", 300),
-            num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
-            **({"int8": True} if int8 else {}),
-        )
-    from multimodal_moe_tpu.models.yolo import YoloDetector
-
-    return "yolo", YoloDetector(
-        num_classes=num_classes, variant=variant,
-        **({"int8": True} if int8 else {}),
-    )
-
-
 def main() -> None:
     args = parse_args()
 
@@ -124,30 +78,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from multimodal_moe_tpu.loading import load_detector, quantize_loaded
     from multimodal_moe_tpu.ops.nms import batched_nms
-    from multimodal_moe_tpu.train.detection import DetTrainConfig, DetectionTrainer
     from multimodal_moe_tpu.train.evaluator import _topk_select, make_inference_step
-    from multimodal_moe_tpu.train.state import CheckpointManager
 
-    ckpt_path, model_cfg = _resolve_ckpt(Path(args.weights).resolve(), args.checkpoint)
-    family, model = _build_model(model_cfg)
-
-    trainer = DetectionTrainer(
-        model,
-        DetTrainConfig(
-            variant=model_cfg.get("variant", "s"),
-            img_h=args.img_h, img_w=args.img_w,
-            optimizer=model_cfg.get("optimizer", "sgd"),
-        ),
-        steps_per_epoch=1,
+    loaded = load_detector(
+        args.weights, checkpoint=args.checkpoint,
+        img_h=args.img_h, img_w=args.img_w, use_ema=args.use_ema,
     )
-    state = CheckpointManager(ckpt_path.parent).restore_eval(
-        ckpt_path.name, trainer.init_state()
-    )
-    params = state.ema_params if args.use_ema else state.params
-    variables = {"params": params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
+    family, model, variables = loaded.family, loaded.model, loaded.variables
 
     # ---- load + resize all images (decode on host, straight bilinear) ----
     h, w = args.img_h, args.img_w
@@ -169,19 +108,10 @@ def main() -> None:
         batches.append(np.stack(cur + [np.zeros((h, w, 3), np.uint8)] * pad))
 
     if args.int8:
-        from multimodal_moe_tpu import quant as qz
-
-        _, model_q = _build_model(model_cfg, int8=True)
-        qnpz = ckpt_path.parent / "int8_quant.npz"
-        if qnpz.exists():
-            qvars = qz.load_quant_npz(qnpz)
-        else:
-            # calibration contract: normalized float batches (quant.calibrate)
-            calib = [jnp.asarray(b, jnp.float32) / 255.0 for b in batches[:2]]
-            qvars = qz.quantize_detector(model, model_q, variables, calib)
-        if family in ("moe", "rtdetr"):
-            qvars = qz.merge_serving_variables(qvars, variables)
-        model, variables = model_q, qvars
+        # calibration contract: normalized float batches (quant.calibrate)
+        calib = [jnp.asarray(b, jnp.float32) / 255.0 for b in batches[:2]]
+        loaded = quantize_loaded(loaded, calib)
+        model, variables = loaded.model, loaded.variables
 
     infer = make_inference_step(model)
     results = []
