@@ -415,16 +415,23 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
     try:
         b128 = jnp.zeros((SERVE_B, H, W, 3), jnp.uint8)
 
-        # Serving tail: decode-after-top-k (full-anchor DFL decode DCE'd;
-        # bit-identical to decode-then-NMS, serving.py) — evaluator default.
-        from multimodal_moe_tpu.serving import yolo_serving_nms
+        # Serving tail: full-anchor decode + batched NMS (pool 512). The
+        # on-chip A/B (perf_round3.py serving, docs/performance.md) measured
+        # the full tail FASTER than decode-after-top-k at B128 — the 512-row
+        # DFL gather is lane-hostile on the VPU while the dense full decode
+        # fuses cleanly — bf16 109.0 vs 111.3 ms, int8 85.6 vs 90.5 ms.
+        from multimodal_moe_tpu.ops.nms import batched_nms
 
         @jax.jit
         def yolo_b128(variables, images_u8):
             o = yolo_model.apply(
                 variables, images_u8.astype(jnp.float32) / 255.0, train=False
             )
-            return yolo_serving_nms(o, k=512).valid.sum()
+            return batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=512,
+            ).valid.sum()
 
         s = timed(yolo_b128, yolo_variables, b128, reps=4)
         out["yolo_b128_serving_img_s"] = round(SERVE_B / s, 1)
@@ -447,7 +454,11 @@ def family_sections(jax, jnp, yolo_model, yolo_variables) -> dict:
             o = model_i8.apply(
                 qvars, images_u8.astype(jnp.float32) / 255.0, train=False
             )
-            return yolo_serving_nms(o, k=512).valid.sum()
+            return batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=512,
+            ).valid.sum()
 
         s = timed(yolo_i8_b128, qvars, b128, reps=4)
         out["yolo_int8_b128_serving_img_s"] = round(SERVE_B / s, 1)

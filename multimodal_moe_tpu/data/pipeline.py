@@ -108,21 +108,13 @@ class ZODMoEVisionDataset:
             return np.zeros((0, 4), np.float32)
         return np.stack(boxes).astype(np.float32)
 
-    def load(self, i: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
+    def load_targets(self, i: int, sx: float = 1.0, sy: float = 1.0) -> Dict[str, np.ndarray]:
+        """Fixed-shape ground-truth dict for one sample, no image decode.
 
+        ``sx``/``sy`` rescale boxes when the pixels are resized on the way in
+        (1.0 for pre-resized corpora)."""
         cfg = self.cfg
         row = self.df.iloc[i]
-        path = _resolve_path(row[cfg.image_path_col], cfg.image_root)
-        with Image.open(path) as img:
-            img = img.convert("RGB")
-            sx = sy = 1.0
-            if img.size != (cfg.img_w, cfg.img_h):
-                sx = cfg.img_w / img.size[0]
-                sy = cfg.img_h / img.size[1]
-                img = img.resize((cfg.img_w, cfg.img_h), Image.BILINEAR)
-            image = np.asarray(img, dtype=np.uint8)
-
         boxes = self._boxes_for_row(row)
         if boxes.shape[0] and (sx != 1.0 or sy != 1.0):
             boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
@@ -138,13 +130,31 @@ class ZODMoEVisionDataset:
             len(self._solar_to_id) - 1,
         )
         return {
-            "image": image,                                   # (H, W, 3) uint8
             "gt_boxes": padded,                               # (max_boxes, 4)
             "gt_labels": np.zeros(cfg.max_boxes, np.int32),   # single class
             "gt_mask": mask,                                  # (max_boxes,)
             "label": np.int32(label),
             "solar_bin": np.int32(solar_id),
         }
+
+    def load(self, i: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        cfg = self.cfg
+        row = self.df.iloc[i]
+        path = _resolve_path(row[cfg.image_path_col], cfg.image_root)
+        with Image.open(path) as img:
+            img = img.convert("RGB")
+            sx = sy = 1.0
+            if img.size != (cfg.img_w, cfg.img_h):
+                sx = cfg.img_w / img.size[0]
+                sy = cfg.img_h / img.size[1]
+                img = img.resize((cfg.img_w, cfg.img_h), Image.BILINEAR)
+            image = np.asarray(img, dtype=np.uint8)
+
+        out = self.load_targets(i, sx, sy)
+        out["image"] = image                                  # (H, W, 3) uint8
+        return out
 
 
 class DetectionLoader:
@@ -166,12 +176,28 @@ class DetectionLoader:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        store: str = "rgb",
     ):
         """``process_index``/``process_count`` shard the dataset across hosts
         for multi-host training (pass ``jax.process_index()`` /
         ``jax.process_count()``): every host sees a disjoint strided slice of
         the (identically shuffled) epoch order, so the global batch is the
-        union of per-host batches."""
+        union of per-host batches.
+
+        ``store`` selects the pixel path:
+
+        * ``"rgb"`` — PIL decode per sample (any source size, any chroma);
+          batches carry ``image`` uint8 RGB.
+        * ``"yuv420"`` — native batch decode to raw 4:2:0 planes (GIL-free
+          libjpeg thread pool, no host color conversion); batches carry
+          ``y``/``cb``/``cr`` uint8 planes — HALF the host→device bytes —
+          which :func:`prefetch_to_device` (and the evaluator) convert to the
+          same uint8 RGB on device (``ops.preprocess.yuv420_to_rgb_u8``,
+          identical pixels to the resident loader). Requires the native
+          decoder and pre-resized 4:2:0 JPEGs.
+        * ``"auto"`` — probe the first sample and pick ``yuv420`` when
+          eligible, else fall back to ``rgb``.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -181,6 +207,63 @@ class DetectionLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self.store = self._resolve_store(store)
+
+    def _resolve_store(self, store: str) -> str:
+        if store == "rgb":
+            return "rgb"
+        if store not in ("auto", "yuv420"):
+            raise ValueError(f"unknown store {store!r}")
+        cfg = self.dataset.cfg
+        reason = None
+        try:
+            from .native_decode import decode_jpeg_bytes_yuv420, native_available
+
+            if not native_available():
+                reason = "native decoder unavailable"
+            else:
+                from PIL import Image
+
+                row = self.dataset.df.iloc[0]
+                path = _resolve_path(row[cfg.image_path_col], cfg.image_root)
+                with Image.open(path) as probe:
+                    if probe.size != (cfg.img_w, cfg.img_h):
+                        reason = (
+                            f"images are {probe.size}, not pre-resized to "
+                            f"({cfg.img_w}, {cfg.img_h})"
+                        )
+                if reason is None and decode_jpeg_bytes_yuv420(
+                    path.read_bytes(), cfg.img_h, cfg.img_w
+                ) is None:
+                    reason = "first JPEG is not 4:2:0 subsampled"
+        except Exception as e:  # probe failure → RGB fallback for "auto"
+            reason = f"probe failed: {e}"
+        if reason is None:
+            return "yuv420"
+        if store == "yuv420":
+            raise ValueError(f"store='yuv420' not usable: {reason}")
+        import sys
+
+        print(f"[loader] store=auto -> rgb ({reason})", file=sys.stderr)
+        return "rgb"
+
+    def _load_batch_yuv(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """One whole batch via the native decoder: raw 4:2:0 planes + stacked
+        targets. Decode threads run outside the GIL in C++."""
+        from .native_decode import decode_jpeg_files_yuv420
+
+        cfg = self.dataset.cfg
+        paths = [
+            str(_resolve_path(self.dataset.df.iloc[int(i)][cfg.image_path_col], cfg.image_root))
+            for i in idx
+        ]
+        y, cb, cr = decode_jpeg_files_yuv420(
+            paths, cfg.img_h, cfg.img_w, n_threads=max(1, self.num_workers)
+        )
+        targets = [self.dataset.load_targets(int(i)) for i in idx]
+        out = {k: np.stack([t[k] for t in targets]) for k in targets[0].keys()}
+        out["y"], out["cb"], out["cr"] = y, cb, cr
+        return out
 
     def __len__(self) -> int:
         n = len(self._indices_static())
@@ -207,30 +290,42 @@ class DetectionLoader:
         if not self.drop_last and len(idx) % bs:
             batches.append(idx[n_full * bs :])
 
+        yuv = self.store == "yuv420"
+
         # workers=0 is the torch-style "load in-process" request; a single
         # worker thread with the one-batch-ahead pipeline below is the
         # closest equivalent (ThreadPoolExecutor rejects max_workers=0).
-        with concurrent.futures.ThreadPoolExecutor(max(1, self.num_workers)) as pool:
+        # The yuv420 path threads inside the native decoder instead, so the
+        # Python pool only pipelines whole-batch jobs two ahead.
+        pool_size = 2 if yuv else max(1, self.num_workers)
+        with concurrent.futures.ThreadPoolExecutor(pool_size) as pool:
             # Pipeline: submit decode jobs one batch ahead.
+            def submit(b):
+                if yuv:
+                    return [pool.submit(self._load_batch_yuv, b)]
+                return [pool.submit(self.dataset.load, int(i)) for i in b]
+
             pending = collections.deque()
             batch_iter = iter(batches)
             for _ in range(2):
                 b = next(batch_iter, None)
                 if b is not None:
-                    pending.append((b, [pool.submit(self.dataset.load, int(i)) for i in b]))
+                    pending.append((b, submit(b)))
             while pending:
                 b, futures = pending.popleft()
-                samples = [f.result() for f in futures]
+                if yuv:
+                    out = futures[0].result()
+                else:
+                    samples = [f.result() for f in futures]
+                    out = {
+                        k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
+                    }
                 nxt = next(batch_iter, None)
                 if nxt is not None:
-                    pending.append(
-                        (nxt, [pool.submit(self.dataset.load, int(i)) for i in nxt])
-                    )
-                out = {
-                    k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
-                }
-                if len(samples) < bs:  # zero-pad the final eval batch
-                    pad = bs - len(samples)
+                    pending.append((nxt, submit(nxt)))
+                n_real = len(b)
+                if n_real < bs:  # zero-pad the final eval batch
+                    pad = bs - n_real
                     out = {
                         k: np.concatenate(
                             [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
@@ -238,7 +333,7 @@ class DetectionLoader:
                         for k, v in out.items()
                     }
                     out["batch_valid"] = np.concatenate(
-                        [np.ones(len(samples), bool), np.zeros(pad, bool)]
+                        [np.ones(n_real, bool), np.zeros(pad, bool)]
                     )
                 else:
                     out["batch_valid"] = np.ones(bs, bool)
@@ -256,13 +351,30 @@ def prefetch_to_device(
     With a ``NamedSharding`` the host array is split across the mesh's data
     axis on the way in — the TPU-native replacement for DataLoader pinned
     memory + H2D copy overlap (ref hot loop: scripts/train_vision_baseline.py:145-146).
+
+    Batches carrying raw 4:2:0 planes (``store="yuv420"`` loaders) are
+    finished on device here: the planes move over the link (half the RGB
+    bytes), then one jitted VPU conversion replaces them with the standard
+    ``image`` uint8 RGB — downstream consumers never see the difference.
     """
     import jax
 
+    convert = None
+
     def _put(batch):
+        nonlocal convert
         if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-        return jax.tree.map(jax.device_put, batch)
+            batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        else:
+            batch = jax.tree.map(jax.device_put, batch)
+        if "y" in batch:
+            if convert is None:
+                from ..ops.preprocess import yuv420_to_rgb_u8
+
+                convert = jax.jit(yuv420_to_rgb_u8)
+            batch = dict(batch)
+            batch["image"] = convert(batch.pop("y"), batch.pop("cb"), batch.pop("cr"))
+        return batch
 
     queue: "collections.deque" = collections.deque()
     for batch in iterator:

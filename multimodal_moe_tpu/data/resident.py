@@ -225,9 +225,8 @@ class ResidentDetectionLoader:
     # -- batch production ----------------------------------------------------
     def _build_gather(self):
         import jax
-        import jax.numpy as jnp
 
-        from ..ops.preprocess import yuv420_to_rgb
+        from ..ops.preprocess import yuv420_to_rgb_u8
 
         yuv = self.store == "yuv420"
 
@@ -241,8 +240,9 @@ class ResidentDetectionLoader:
                 "solar_bin": data["solar_bin"][idx],
             }
             if yuv:
-                rgb = yuv420_to_rgb(data["y"][idx], data["cb"][idx], data["cr"][idx])
-                out["image"] = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+                out["image"] = yuv420_to_rgb_u8(
+                    data["y"][idx], data["cb"][idx], data["cr"][idx]
+                )
             else:
                 out["image"] = data["image"][idx]
             return out

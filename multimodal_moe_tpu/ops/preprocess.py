@@ -52,6 +52,13 @@ def yuv420_to_model_input(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> j
     return yuv420_to_rgb(y, cb, cr) / 255.0
 
 
+def yuv420_to_rgb_u8(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
+    """Planes → (B, H, W, 3) uint8 RGB — the canonical quantization used by
+    both the resident loader's in-graph gather and the streaming YUV path, so
+    the two loaders produce identical pixels for the same JPEG."""
+    return jnp.clip(jnp.round(yuv420_to_rgb(y, cb, cr)), 0, 255).astype(jnp.uint8)
+
+
 def normalize_images_u8(images_u8: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 3) uint8 → float32 in [0, 1] (RGB path)."""
     return images_u8.astype(jnp.float32) / 255.0

@@ -111,6 +111,7 @@ def make_serving_step(
     score_threshold: float = 0.001,
     max_det: int = 300,
     early_exit: bool = False,
+    tail: str = "full",
 ):
     """ONE jitted serving executable: uint8 images → :class:`NmsResult`.
 
@@ -118,13 +119,19 @@ def make_serving_step(
     runs in-graph (the tunneled runtime has no host callbacks, and one
     executable keeps the device queue shallow). Family is resolved from
     the model's *outputs*: DETR-style heads (no ``anchor_points``) take
-    the NMS-free top-k tail; single-class anchor detectors take the
-    decode-after-top-k NMS tail (:func:`yolo_serving_nms`); multi-class
-    anchor heads fall back to full decode + batched NMS. Params travel as
-    jit arguments (closure-constant weights inflate the executable and
-    poison tunnel bandwidth — see bench.py design notes).
+    the NMS-free top-k tail; anchor detectors take full decode + batched
+    NMS (``tail="full"``, the default) or the bit-identical
+    decode-after-top-k tail (``tail="topk"``, single-class only,
+    :func:`yolo_serving_nms`). The on-chip A/B at the serving batch (B128,
+    v5e — docs/performance.md) measured full FASTER: the 512-row DFL
+    gather is lane-hostile on the VPU while the dense full-anchor decode
+    fuses cleanly (bf16 109.0 vs 111.3 ms; int8 85.6 vs 90.5). Params
+    travel as jit arguments (closure-constant weights inflate the
+    executable and poison tunnel bandwidth — see bench.py design notes).
     """
     context_aware = getattr(model, "context_aware", False)
+    if tail not in ("full", "topk"):
+        raise ValueError(f"tail must be 'full' or 'topk', got {tail!r}")
 
     @jax.jit
     def step(variables, images_u8, context_ids=None):
@@ -139,7 +146,7 @@ def make_serving_step(
                 out["boxes"], scores,
                 max_det=max_det, score_threshold=score_threshold,
             )
-        if out["cls_logits"].shape[-1] == 1:
+        if out["cls_logits"].shape[-1] == 1 and tail == "topk":
             return yolo_serving_nms(
                 out, k=pool, iou_threshold=iou_threshold,
                 score_threshold=score_threshold, max_det=max_det,

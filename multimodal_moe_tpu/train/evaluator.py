@@ -165,8 +165,20 @@ def evaluate_detector(
     # Stage boundaries are synchronized by fetching a scalar to host:
     # block_until_ready does not actually synchronize on tunneled TPU
     # runtimes, which would mis-attribute stage times.
+    yuv_convert = None
     for batch in loader:
-        images = jax.device_put(batch["image"])
+        if "y" in batch:  # store="yuv420" loader: finish decode on device
+            if yuv_convert is None:
+                from ..ops.preprocess import yuv420_to_rgb_u8
+
+                yuv_convert = jax.jit(yuv420_to_rgb_u8)
+            images = yuv_convert(
+                jax.device_put(batch["y"]),
+                jax.device_put(batch["cb"]),
+                jax.device_put(batch["cr"]),
+            )
+        else:
+            images = jax.device_put(batch["image"])
         float(jnp.asarray(images[0, 0, 0, 0], jnp.float32))
         now = time.perf_counter()
         t_pre += now - t_mark

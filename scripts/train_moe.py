@@ -57,6 +57,14 @@ def parse_args() -> argparse.Namespace:
         help="Device-resident dataset (HBM-parked YUV420 planes, in-graph "
         "batch gather) — see data/resident.py.",
     )
+    p.add_argument(
+        "--stream-store", type=str, default="auto",
+        choices=("auto", "rgb", "yuv420"),
+        help="Streaming-loader pixel path: 'yuv420' decodes natively to raw "
+        "4:2:0 planes (GIL-free, half the H2D bytes, finished on device); "
+        "'auto' probes the corpus and falls back to PIL RGB. Ignored with "
+        "--resident.",
+    )
     return p.parse_args()
 
 
@@ -121,6 +129,7 @@ def main() -> None:
         loader_kw["sharding"] = batch_sharding(mesh)
     else:
         _Loader = DetectionLoader
+        loader_kw["store"] = args.stream_store
     train_loader = _Loader(
         make_ds("train"), batch_size=args.batch, shuffle=True,
         seed=args.seed, num_workers=args.workers,

@@ -66,6 +66,14 @@ def parse_args() -> argparse.Namespace:
         "batches in-graph — removes all per-epoch host decode + H2D traffic "
         "(data/resident.py; requires a pre-resized corpus).",
     )
+    p.add_argument(
+        "--stream-store", type=str, default="auto",
+        choices=("auto", "rgb", "yuv420"),
+        help="Streaming-loader pixel path: 'yuv420' decodes natively to raw "
+        "4:2:0 planes (GIL-free, half the H2D bytes, finished on device); "
+        "'auto' probes the corpus and falls back to PIL RGB. Ignored with "
+        "--resident.",
+    )
     return p.parse_args()
 
 
@@ -157,10 +165,11 @@ def main() -> None:
             make_ds("train"), batch_size=args.batch, shuffle=True,
             seed=args.seed, num_workers=args.workers,
             process_index=proc_idx, process_count=proc_count,
+            store=args.stream_store,
         )
         val_loader = DetectionLoader(
             make_ds("val"), batch_size=args.batch, drop_last=False,
-            num_workers=args.workers,
+            num_workers=args.workers, store=args.stream_store,
         )
 
     model = YoloDetector(num_classes=1, variant=variant)
