@@ -299,8 +299,11 @@ class PlainStage(nn.Module):
         return x
 
 
-def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbor 2× upsample (pure reshape/broadcast — free for XLA)."""
+def upsample2x(x):
+    """Nearest-neighbor 2× upsample (pure reshape/broadcast — free for XLA).
+    Data movement only, so int8 codes upsample directly (scale unchanged)."""
+    if isinstance(x, QT):
+        return QT(upsample2x(x.q), x.s)
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)

@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..ops.deformable import ms_deformable_attention
 from ..ops.deformable_pallas import ms_deformable_attention_pallas
-from ..quant import q_from_images
+from ..quant import QT, absmax_sow_kwargs, dequantize, q_from_images, qcat, quantize_to
 from .layers import CSPStage, ConvBNAct, MLP
 from .resnet import ResNet
 
@@ -87,8 +87,9 @@ class HybridEncoder(nn.Module):
     arch: str = "tpu"
 
     @nn.compact
-    def __call__(self, feats: "List[jnp.ndarray]", train: bool = False):
+    def __call__(self, feats, train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        quant = isinstance(feats[0], QT)
         if self.arch == "tpu":
             from .layers import PlainStage
 
@@ -103,35 +104,45 @@ class HybridEncoder(nn.Module):
             for i, f in enumerate(feats)
         ]
 
-        # AIFI on the stride-32 map.
-        b, h5, w5, c = proj[2].shape
-        tokens = proj[2].reshape(b, h5 * w5, c)
+        # AIFI on the stride-32 map — an fp island in the int8 serving graph
+        # (attention/LayerNorm/GELU epilogues are not int8-friendly, and the
+        # stride-32 map is the cheapest level); dequantize in, requantize out
+        # with a calibrated static scale so the CCFF below stays int8.
+        p5_in = proj[2]
+        if quant:
+            p5_in = dequantize(p5_in).astype(self.dtype)
+        b, h5, w5, c = p5_in.shape
+        tokens = p5_in.reshape(b, h5 * w5, c)
         pos = jnp.asarray(sincos_2d(h5, w5, c))[None]
         tokens = EncoderLayer(
             dim=c, num_heads=self.num_heads, ffn_dim=self.hidden_dim * 4,
             dtype=self.dtype, name="aifi",
         )(tokens, pos)
         p5 = tokens.reshape(b, h5, w5, c)
+        if quant:
+            s_aifi = self.variable(
+                "quant", "s_aifi_0", lambda: jnp.ones((), jnp.float32)
+            )
+            p5 = QT(quantize_to(p5.astype(jnp.float32), s_aifi.value), s_aifi.value)
+        elif not self.is_initializing():
+            self.sow(
+                "qcal", "aifi0_absmax",
+                jnp.max(jnp.abs(p5)).astype(jnp.float32),
+                **absmax_sow_kwargs(),
+            )
 
         # CCFF: top-down then bottom-up.
         from .layers import upsample2x
 
-        td4 = fuse("td4")(
-            jnp.concatenate([upsample2x(p5), proj[1]], -1), train
-        )
-        td3 = fuse("td3")(
-            jnp.concatenate([upsample2x(td4), proj[0]], -1), train
-        )
+        cat = qcat if quant else (lambda xs: jnp.concatenate(xs, -1))
+        td4 = fuse("td4")(cat([upsample2x(p5), proj[1]]), train)
+        td3 = fuse("td3")(cat([upsample2x(td4), proj[0]]), train)
         bu4 = fuse("bu4")(
-            jnp.concatenate(
-                [ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down3")(td3, train), td4], -1
-            ),
+            cat([ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down3")(td3, train), td4]),
             train,
         )
         bu5 = fuse("bu5")(
-            jnp.concatenate(
-                [ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down4")(bu4, train), p5], -1
-            ),
+            cat([ConvBNAct(self.hidden_dim, 3, strides=2, **kw, name="down4")(bu4, train), p5]),
             train,
         )
         return [td3, bu4, bu5]
@@ -320,9 +331,10 @@ class RTDETRDetector(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     remat: bool = False  # rematerialize backbone blocks (HBM ↔ recompute)
-    # PTQ serving: int8 backbone (the ResNet-vd convs carry most of the
-    # forward FLOPs), fp encoder/decoder. Serving variables =
-    # {'quant': ..., 'params': ...} via quant.merge_serving_variables.
+    # PTQ serving: int8 ResNet-vd backbone + int8 CCFF cross-scale fusion
+    # (together ~3/4 of the conv FLOPs); the AIFI attention island and the
+    # decoder stay fp. Serving variables = {'quant': ..., 'params': ...}
+    # via quant.merge_serving_variables.
     int8: bool = False
 
     denoising_capable: bool = True  # trainer passes GT + a 'denoise' rng
@@ -343,18 +355,18 @@ class RTDETRDetector(nn.Module):
         )
         bb_in = q_from_images(images) if self.int8 else images
         c2, c3, c4, c5 = backbone(bb_in, train)
-        if self.int8:
-            # dequantize the stage outputs the encoder consumes (c2 is unused
-            # at this scale set — dead code XLA removes)
-            c3, c4, c5 = (
-                f.q.astype(self.dtype) * f.s.astype(self.dtype)
-                for f in (c3, c4, c5)
-            )
+        # int8: the QT stage outputs flow straight into the CCFF (c2 is
+        # unused at this scale set — dead code XLA removes); only the AIFI
+        # island and everything from the decoder down run fp.
         feats = HybridEncoder(
             hidden_dim=self.hidden_dim, num_heads=self.num_heads,
             dtype=self.dtype, axis_name=self.axis_name, arch=self.arch,
             name="encoder",
         )([c3, c4, c5], train)
+        if self.int8:
+            feats = [
+                f.q.astype(self.dtype) * f.s.astype(self.dtype) for f in feats
+            ]
 
         level_shapes = [(f.shape[1], f.shape[2]) for f in feats]
         memory = jnp.concatenate(

@@ -48,8 +48,8 @@ def parse_args() -> argparse.Namespace:
         "--int8", action="store_true",
         help="PTQ int8 serving path: calibrate on train batches, fold BN, "
         "quantize, eval the int8 forward (yolo/moe: full conv trunk; "
-        "rtdetr: backbone, fp encoder/decoder). The quant tree is cached "
-        "as int8_quant.npz beside the checkpoint.",
+        "rtdetr: backbone + CCFF encoder convs, fp AIFI/decoder). The quant "
+        "tree is cached as int8_quant.npz beside the checkpoint.",
     )
     p.add_argument("--int8-calib-batches", type=int, default=8)
     p.add_argument("--int8-recalibrate", action="store_true")

@@ -156,8 +156,9 @@ def test_moe_yolo_int8_parity():
 
 
 def test_rtdetr_int8_backbone_parity():
-    """RT-DETR serving: int8 ResNet-vd backbone ≈ fp backbone stage outputs;
-    the full forward (fp encoder/decoder via merged serving variables) runs
+    """RT-DETR serving: int8 ResNet-vd backbone ≈ fp backbone stage outputs,
+    int8 CCFF encoder ≈ fp encoder maps (AIFI runs as a requantized fp
+    island); the full forward (fp decoder via merged serving variables) runs
     and stays finite. Final boxes aren't compared directly — with random
     weights the encoder's top-k query selection can flip under quantization
     noise, which is a selection discontinuity, not a quantization error."""
@@ -176,7 +177,7 @@ def test_rtdetr_int8_backbone_parity():
     qvars = Q.quantize_detector(m, mq, variables, imgs)
     serving = Q.merge_serving_variables(qvars, variables)
 
-    cap = lambda mdl, _: mdl.name == "backbone"
+    cap = lambda mdl, _: mdl.name in ("backbone", "encoder")
     _, mods_fp = m.apply(
         variables, imgs[0], train=False,
         capture_intermediates=cap, mutable=["intermediates"],
@@ -193,16 +194,32 @@ def test_rtdetr_int8_backbone_parity():
         a = np.asarray(f_fp).ravel()
         b = np.asarray(Q.dequantize(f_q)).ravel()
         assert np.corrcoef(a, b)[0, 1] > 0.99
+    # int8 CCFF: the three encoder output maps stay int8 end-to-end and
+    # track the fp encoder per-map
+    enc_fp = mods_fp["intermediates"]["encoder"]["__call__"][0]
+    enc_q = mods_q["intermediates"]["encoder"]["__call__"][0]
+    assert len(enc_fp) == len(enc_q) == 3
+    for f_fp, f_q in zip(enc_fp, enc_q):
+        assert isinstance(f_q, Q.QT) and f_q.q.dtype == jnp.int8
+        a = np.asarray(f_fp).ravel()
+        b = np.asarray(Q.dequantize(f_q)).ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.98
     # fp head consumed the dequantized features without blowing up
     assert out_q["boxes"].dtype == jnp.float32
     assert np.isfinite(np.asarray(out_q["boxes"])).all()
     assert np.isfinite(np.asarray(out_q["cls_logits"])).all()
-    # the vd avg-pool downsample + bottleneck requant scales were calibrated
-    names = [
-        "/".join(k.key for k in kp)
-        for kp, _ in jax.tree_util.tree_flatten_with_path(qvars["quant"])[0]
-    ]
+    # the vd avg-pool downsample + bottleneck requant scales were calibrated,
+    # and so were the encoder's AIFI requant + CCFF conv scales
+    names = {
+        "/".join(k.key for k in kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(qvars["quant"])[0]
+    }
     assert any("BottleneckBlock" in n and n.endswith("s_add_0") for n in names)
+    s_aifi = float(np.asarray(names["encoder/s_aifi_0"]))
+    assert s_aifi > 0 and s_aifi != 1.0
+    enc_souts = [v for n, v in names.items()
+                 if n.startswith("encoder/") and n.endswith("s_out")]
+    assert enc_souts and all(float(np.asarray(v)) != 1.0 for v in enc_souts)
 
 
 def test_calibration_accumulates_max():
