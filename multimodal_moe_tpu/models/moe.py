@@ -338,6 +338,52 @@ def moe_apply_sweep(
     return (out_e * comb.T.astype(dtype)[:, :, None]).sum(axis=0)
 
 
+def moe_apply_sweep_int8(
+    tokens_q: jnp.ndarray,        # (T, d) int8 codes
+    token_scale: jnp.ndarray,     # () fp32 — trunk requant scale of the codes
+    expert_idx: jnp.ndarray,      # (T, k)
+    gates: jnp.ndarray,           # (T, k)
+    w1_q: jnp.ndarray,            # (E, d, h) int8
+    s_w1: jnp.ndarray,            # (E, h) fp32 per-expert-per-channel
+    b1: jnp.ndarray,              # (E, 1, h) fp32
+    s_mid: jnp.ndarray,           # (E,) fp32 calibrated mid-activation scales
+    w2_q: jnp.ndarray,            # (E, h, d) int8
+    s_w2: jnp.ndarray,            # (E, d) fp32
+    b2: jnp.ndarray,              # (E, 1, d) fp32
+) -> jnp.ndarray:
+    """w8a8 expert sweep (PTQ serving twin of :func:`moe_apply_sweep`).
+
+    Both grouped einsums run s8×s8→s32 on the MXU (2× the bf16 rate on
+    v5e) and the (E, T, h) mid tensor materializes as 1 byte/elem — the
+    sweep's E-fold redundancy makes byte- and FLOP-halving count double
+    here. The silu epilogue dequantizes with the fused (token·weight)
+    scale and requantizes per expert on calibrated statics; the combine
+    and output stay fp32.
+    """
+    t, d = tokens_q.shape
+    e = w1_q.shape[0]
+    x32 = jnp.einsum(
+        "td,edh->eth", tokens_q, w1_q, preferred_element_type=jnp.int32
+    )
+    mid = nn.silu(
+        x32.astype(jnp.float32) * (token_scale * s_w1[:, None, :]) + b1
+    )
+    mid_q = jnp.clip(
+        jnp.round(mid / s_mid[:, None, None]), -127, 127
+    ).astype(jnp.int8)
+    y32 = jnp.einsum(
+        "eth,ehd->etd", mid_q, w2_q, preferred_element_type=jnp.int32
+    )
+    out_e = y32.astype(jnp.float32) * (s_mid[:, None, None] * s_w2[:, None, :]) + b2
+
+    comb = (
+        jnp.zeros((t, e), jnp.float32)
+        .at[jnp.arange(t)[:, None], expert_idx]
+        .add(gates.astype(jnp.float32))
+    )
+    return (out_e * comb.T[:, :, None]).sum(axis=0)
+
+
 def resolve_dispatch(dispatch: str, num_tokens: int, num_experts: int) -> str:
     """Resolve ``dispatch="auto"`` to the concrete mode MoEFFN will run.
 
@@ -451,16 +497,25 @@ class MoEFFN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tokens: jnp.ndarray, context_ids: jnp.ndarray
+        self, tokens, context_ids: jnp.ndarray
     ) -> "Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]":
-        """tokens (T, d), context_ids (T,) → (T, d), aux dict."""
-        t, d = tokens.shape
+        """tokens (T, d) — fp array, or a :class:`quant.QT` of int8 codes
+        for the w8a8 serving branch — context_ids (T,) → (T, d), aux dict.
+        The int8 branch always runs the dropless sweep (the mode serving
+        resolves to at protocol token counts) and returns fp32 tokens."""
+        from ..quant import QT
+
+        quant = isinstance(tokens, QT)
+        tokens_fp = (
+            tokens.q.astype(jnp.float32) * tokens.s if quant else tokens
+        )
+        t, d = tokens_fp.shape
         h = int(d * self.hidden_mult)
         e = self.num_experts
         capacity = max(int(t * self.k * self.capacity_factor / e), self.k)
 
         logits = ContextGate(e, self.num_context_bins, name="router")(
-            tokens, context_ids
+            tokens_fp, context_ids
         )
 
         w1 = self.param(
@@ -471,6 +526,56 @@ class MoEFFN(nn.Module):
             "experts_w2", nn.initializers.lecun_normal(), (e, h, d), jnp.float32
         )
         b2 = self.param("experts_b2", nn.initializers.zeros, (e, 1, d), jnp.float32)
+
+        if not quant and not self.is_initializing():
+            # PTQ calibration statistic: per-expert absmax of the sweep's mid
+            # activation over ALL tokens (a dropless upper bound, valid for
+            # every dispatch mode). Stored only under mutable=['qcal'];
+            # dead code XLA removes otherwise — see quant.py.
+            from ..quant import absmax_sow_kwargs
+
+            mid_cal = nn.silu(jnp.einsum("td,edh->eth", tokens_fp, w1) + b1)
+            self.sow(
+                "qcal", "mid_absmax",
+                jnp.max(jnp.abs(mid_cal), axis=(1, 2)).astype(jnp.float32),
+                **absmax_sow_kwargs(),
+            )
+
+        if quant:
+            # w8a8 serving: per-expert-per-channel int8 weights + calibrated
+            # static scales (built offline by quant.build_quant_variables;
+            # the fp32 router above keeps reading 'params').
+            w1_q = self.variable(
+                "quant", "w1_q", lambda: jnp.zeros((e, d, h), jnp.int8)
+            )
+            s_w1 = self.variable(
+                "quant", "s_w1", lambda: jnp.ones((e, h), jnp.float32)
+            )
+            b1_v = self.variable(
+                "quant", "b1", lambda: jnp.zeros((e, 1, h), jnp.float32)
+            )
+            s_mid = self.variable(
+                "quant", "s_mid", lambda: jnp.ones((e,), jnp.float32)
+            )
+            w2_q = self.variable(
+                "quant", "w2_q", lambda: jnp.zeros((e, h, d), jnp.int8)
+            )
+            s_w2 = self.variable(
+                "quant", "s_w2", lambda: jnp.ones((e, d), jnp.float32)
+            )
+            b2_v = self.variable(
+                "quant", "b2", lambda: jnp.zeros((e, 1, d), jnp.float32)
+            )
+            topk_idx, gates, aux_loss, expert_load = route_top_k_dropless(
+                logits, k=self.k
+            )
+            out = moe_apply_sweep_int8(
+                tokens.q, tokens.s, topk_idx, gates,
+                w1_q.value, s_w1.value, b1_v.value, s_mid.value,
+                w2_q.value, s_w2.value, b2_v.value,
+            )
+            aux = {"moe_aux_loss": aux_loss, "expert_load": expert_load}
+            return tokens_fp + out, aux
 
         mode = resolve_dispatch(self.dispatch, t, e)
 

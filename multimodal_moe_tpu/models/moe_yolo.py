@@ -38,9 +38,10 @@ class MoEYoloDetector(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     arch: str = "tpu"
-    # PTQ serving: int8 trunk (backbone/neck/head convs), fp MoE blocks with
-    # requantized outputs. Serving variables = {'quant': ..., 'params': ...}
-    # (the MoE blocks keep reading fp params). See quant.py.
+    # PTQ serving: int8 trunk (backbone/neck/head convs) + w8a8 expert FFNs
+    # (dropless int8 sweep, per-expert weight scales); the fp32 routers and
+    # the residual/combine stay fp. Serving variables =
+    # {'quant': ..., 'params': ...} via quant.merge_serving_variables.
     int8: bool = False
 
     context_aware: bool = True  # trainer passes context_ids when True
@@ -68,11 +69,14 @@ class MoEYoloDetector(nn.Module):
         moe_feats = []
         for i, f in enumerate(feats):
             if isinstance(f, QT):
-                f_fp = f.q.astype(self.dtype) * f.s.astype(self.dtype)
+                # w8a8 MoE: the neck's int8 codes flow straight into the
+                # expert sweep (moe.py moe_apply_sweep_int8); only the fp32
+                # router dequantizes.
+                bb, h, w, c = f.q.shape
+                tokens = QT(f.q.reshape(bb * h * w, c), f.s)
             else:
-                f_fp = f
-            bb, h, w, c = f_fp.shape
-            tokens = f_fp.reshape(bb * h * w, c)
+                bb, h, w, c = f.shape
+                tokens = f.reshape(bb * h * w, c)
             token_ctx = jnp.repeat(context_ids, h * w, total_repeat_length=bb * h * w)
             out_tokens, aux = MoEFFN(
                 num_experts=self.num_experts,

@@ -183,6 +183,33 @@ def _fold_predconv(pnode):
     }
 
 
+def _fold_moe_ffn(pnode, qcal_node):
+    """MoE expert-FFN params (+ calibrated per-expert mid absmax) →
+    {w1_q, s_w1, b1, s_mid, w2_q, s_w2, b2} for the w8a8 sweep
+    (models/moe.py moe_apply_sweep_int8). Weights quantize per-expert-
+    per-output-channel; the fp32 router keeps reading 'params'."""
+    w1 = np.asarray(pnode["experts_w1"], np.float64)  # (E, d, h)
+    b1 = np.asarray(pnode["experts_b1"], np.float64)
+    w2 = np.asarray(pnode["experts_w2"], np.float64)  # (E, h, d)
+    b2 = np.asarray(pnode["experts_b2"], np.float64)
+    s_w1 = np.maximum(np.abs(w1).max(axis=1) / 127.0, _MIN_SCALE)  # (E, h)
+    w1_q = np.clip(np.rint(w1 / s_w1[:, None, :]), -127, 127).astype(np.int8)
+    s_w2 = np.maximum(np.abs(w2).max(axis=1) / 127.0, _MIN_SCALE)  # (E, d)
+    w2_q = np.clip(np.rint(w2 / s_w2[:, None, :]), -127, 127).astype(np.int8)
+    s_mid = np.maximum(
+        np.asarray(qcal_node["mid_absmax"], np.float64) / 127.0, _MIN_SCALE
+    )  # (E,)
+    return {
+        "w1_q": jnp.asarray(w1_q),
+        "s_w1": jnp.asarray(s_w1, jnp.float32),
+        "b1": jnp.asarray(b1, jnp.float32),
+        "s_mid": jnp.asarray(s_mid, jnp.float32),
+        "w2_q": jnp.asarray(w2_q),
+        "s_w2": jnp.asarray(s_w2, jnp.float32),
+        "b2": jnp.asarray(b2, jnp.float32),
+    }
+
+
 def build_quant_variables(model_q, fp_variables: Dict, qcal: Dict, sample_images) -> Dict:
     """Build the ``{'quant': ...}`` variables for the int8 model.
 
@@ -201,8 +228,10 @@ def build_quant_variables(model_q, fp_variables: Dict, qcal: Dict, sample_images
 
     def walk(qnode, pnode, snode, cnode, path):
         keys = set(qnode.keys())
-        if "w_q" in keys:
-            if "s_out" in keys:  # ConvBNAct
+        if "w_q" in keys or "w1_q" in keys:
+            if "w1_q" in keys:  # MoE expert FFN (w8a8 sweep)
+                built = _fold_moe_ffn(pnode, cnode)
+            elif "s_out" in keys:  # ConvBNAct
                 built = _fold_convbn(pnode, snode, cnode)
             else:  # prediction conv
                 built = _fold_predconv(pnode)
@@ -245,8 +274,9 @@ def quantize_detector(model_fp, model_q, fp_variables, calib_batches, **apply_kw
 
 
 def merge_serving_variables(quant_vars: Dict, fp_variables: Dict) -> Dict:
-    """Serving variables for partially-quantized models (MoE-YOLO): the int8
-    trunk reads 'quant', the fp blocks (MoE FFNs) keep reading 'params'."""
+    """Serving variables for partially-quantized models: the int8 branches
+    read 'quant', the fp islands (MoE routers, RT-DETR AIFI/decoder) keep
+    reading 'params'."""
     out = dict(quant_vars)
     out["params"] = fp_variables["params"]
     if "batch_stats" in fp_variables:

@@ -6,6 +6,7 @@ as jit args, scalar-checksum fetch barriers, best-of-N trials).
 Sections (select with argv, default all):
   yolo     — B128 fwd+NMS serving config; exact vs approx top-k preselect
   int8     — int8 PTQ serving vs bf16 at B64/128/192 (quant.py)
+  moei8    — MoE-YOLO serving A/B: bf16 vs int8 trunk + w8a8 expert sweep
   latency  — single-request serving latency p50/p95 at B1-16, bf16 vs int8
   batches  — RT-DETR fwd and MoE-YOLO fwd/train batch-scaling tables
   rtdetri8 — RT-DETR serving ladder: fp32 / bf16 / int8-backbone × each
@@ -119,6 +120,53 @@ def section_int8(jax, jnp):
                 del fn, img
             except Exception as e:
                 out("int8", mode=name, batch=batch, error=str(e)[:160])
+
+
+def section_moei8(jax, jnp):
+    """MoE-YOLO serving A/B: bf16 vs int8 trunk + w8a8 expert sweep
+    (moe_apply_sweep_int8) at serving batches, fwd+NMS."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    kw = dict(num_classes=1, variant="s", num_experts=4, dispatch="sweep")
+    model = MoEYoloDetector(**kw, dtype=jnp.bfloat16)
+    ctx1 = jnp.zeros((1,), jnp.int32)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False,
+                             context_ids=ctx1)
+    )(jax.random.PRNGKey(0))
+    model_i8 = MoEYoloDetector(**kw, int8=True)
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    qvars = qz.quantize_detector(
+        model, model_i8, variables, calib, context_ids=jnp.zeros((2,), jnp.int32)
+    )
+    qmerged = qz.merge_serving_variables(qvars, variables)
+
+    def make(m, batch, pool):
+        def fn(v, img, ctx):
+            o = m.apply(v, img.astype(jnp.float32) / 255.0, train=False,
+                        context_ids=ctx)
+            n = batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=pool,
+            )
+            return n.valid.sum()
+        return (jax.jit(fn), jnp.zeros((batch, H, W, 3), jnp.uint8),
+                jnp.zeros((batch,), jnp.int32))
+
+    for batch in (64, 128):
+        for name, m, v in (("bf16", model, variables), ("int8", model_i8, qmerged)):
+            try:
+                fn, img, ctx = make(m, batch, 512)
+                s = timed_scalar(fn, v, img, ctx, reps=4)
+                out("moei8", mode=name, batch=batch,
+                    ms_call=round(s * 1e3, 1), img_s=round(batch / s, 1))
+                del fn, img
+            except Exception as e:
+                out("moei8", mode=name, batch=batch, error=str(e)[:160])
 
 
 def section_latency(jax, jnp, batches=(1, 2, 4, 8, 16), calls=40):

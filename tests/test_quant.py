@@ -129,12 +129,20 @@ def test_npz_roundtrip(tmp_path, tiny_quantized):
 
 
 def test_moe_yolo_int8_parity():
-    """MoE-YOLO serving: int8 trunk + fp MoE blocks ≈ fp model."""
+    """MoE-YOLO serving: int8 trunk + w8a8 expert FFNs ≈ fp model.
+
+    Both models pin dispatch='sweep' so fp and int8 run the same dropless
+    math (at tiny test token counts 'auto' would give fp the capacity-
+    dropping dense path while int8 always sweeps)."""
     from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
 
     h, w = 64, 96
-    m = MoEYoloDetector(num_classes=1, variant="n", num_experts=2)
-    mq = MoEYoloDetector(num_classes=1, variant="n", num_experts=2, int8=True)
+    m = MoEYoloDetector(
+        num_classes=1, variant="n", num_experts=2, dispatch="sweep"
+    )
+    mq = MoEYoloDetector(
+        num_classes=1, variant="n", num_experts=2, dispatch="sweep", int8=True
+    )
     rng = np.random.default_rng(3)
     imgs = _rand_images(rng, 2, h, w)
     ctx = jnp.zeros((2,), jnp.int32)
@@ -153,6 +161,14 @@ def test_moe_yolo_int8_parity():
     for i in range(3):
         s = float(np.asarray(qvars["quant"][f"s_moe_out_{i}"]))
         assert s > 0 and s != 1.0
+    # the expert FFNs themselves are w8a8: int8 stacked weights + calibrated
+    # per-expert mid scales on every level
+    for i in range(3):
+        ffn = qvars["quant"][f"moe_level{i}"]
+        assert ffn["w1_q"].dtype == jnp.int8 and ffn["w2_q"].dtype == jnp.int8
+        s_mid = np.asarray(ffn["s_mid"])
+        assert s_mid.shape == (2,) and (s_mid > 0).all()
+        assert not np.allclose(s_mid, 1.0)
 
 
 def test_rtdetr_int8_backbone_parity():
