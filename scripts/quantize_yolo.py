@@ -5,8 +5,9 @@ Standalone converter for serving workflows (eval_detector --int8 performs
 the same conversion inline and caches it): calibrates activation scales on
 train-split batches, folds BN, quantizes weights per-channel, and writes
 ``int8_quant_<ckpt>.npz`` beside the checkpoint. Covers all three families
-(the family is read from model_config.json: yolo / moe full conv trunk;
-rtdetr backbone with fp encoder/decoder). Serving-path design and error
+(the family is read from model_config.json: yolo full conv trunk; moe
+trunk + w8a8 expert sweep; rtdetr backbone + CCFF encoder convs with fp
+AIFI/decoder). Serving-path design and error
 budget: multimodal_moe_tpu/quant.py. No reference counterpart — the
 reference serves through Ultralytics fp16 CUDA with no quantized
 deployment story.
