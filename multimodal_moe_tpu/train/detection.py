@@ -227,6 +227,19 @@ class DetectionTrainer:
         history = []
         start_epoch = 0
         wall_accum = 0.0
+        if resume and not ckpt.has("last") and progress_path.exists():
+            # Restarting here would train from scratch and, worse, overwrite
+            # weights/best with early-epoch weights the moment the (reset)
+            # best-fitness bar is cleared — observed in production when a
+            # crash-destroyed ``last`` met an old fit_progress.json. Refuse.
+            prog_epoch = json.loads(progress_path.read_text()).get("epoch")
+            raise RuntimeError(
+                f"--resume for {run_dir}: fit_progress.json records epoch "
+                f"{prog_epoch} but weights/last is missing. Refusing to "
+                "silently restart (it would overwrite weights/best). Restore "
+                "the checkpoint, or delete fit_progress.json to deliberately "
+                "start over."
+            )
         if resume and ckpt.has("last"):
             state = ckpt.restore("last", state)
             if progress_path.exists():

@@ -111,10 +111,40 @@ class CheckpointManager:
         return self.run_dir / name
 
     def save(self, name: str, state: TrainState) -> Path:
+        """Crash-safe save: write to a sibling ``<name>.new`` dir, then swap.
+
+        Orbax's ``force=True`` deletes the destination *before* writing its
+        replacement, so a process killed mid-save (host OOM, chunk-timeout
+        SIGTERM) destroys the only copy of ``last`` — after which a
+        ``--resume`` finds no checkpoint. The swap shrinks the
+        no-checkpoint window from the full multi-second write to two
+        directory renames, and ``_recover`` repairs even that window.
+        """
+        import shutil
+
         path = self._path(name)
-        self._ckptr.save(path, state, force=True)
+        new = self._path(name + ".new")
+        old = self._path(name + ".old")
+        for stale in (new, old):
+            if stale.exists():
+                shutil.rmtree(stale)
+        self._ckptr.save(new, state, force=True)
         self._ckptr.wait_until_finished()
+        if path.exists():
+            path.rename(old)
+        new.rename(path)
+        if old.exists():
+            shutil.rmtree(old)
         return path
+
+    def _recover(self, name: str) -> None:
+        """If a crash landed between the two swap renames (``<name>``
+        missing but a fully-written ``<name>.new`` present — orbax only
+        renames its ``*.orbax-checkpoint-tmp`` staging dir to ``<name>.new``
+        once the write completed), finish the swap."""
+        path, new = self._path(name), self._path(name + ".new")
+        if not path.exists() and new.exists():
+            new.rename(path)
 
     def save_last(self, state: TrainState) -> Path:
         return self.save("last", state)
@@ -123,6 +153,7 @@ class CheckpointManager:
         return self.save("best", state)
 
     def restore(self, name: str, target: TrainState) -> TrainState:
+        self._recover(name)
         return self._ckptr.restore(self._path(name), target=target)
 
     def restore_eval(self, name: str, target: TrainState) -> TrainState:
@@ -134,6 +165,7 @@ class CheckpointManager:
         structural restore against an evaluator that guessed SGD (opt_state
         pytrees differ). Raw-restore the checkpoint and graft the weight
         trees onto the target state."""
+        self._recover(name)
         raw = self._ckptr.restore(self._path(name))
         out = target
         for field in ("params", "ema_params", "batch_stats"):
@@ -143,4 +175,5 @@ class CheckpointManager:
         return out
 
     def has(self, name: str) -> bool:
+        self._recover(name)
         return self._path(name).exists()

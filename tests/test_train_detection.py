@@ -66,6 +66,44 @@ class TestTraining:
         assert (run_dir / "weights" / "last").exists()
         assert (run_dir / "weights" / "best").exists()
 
+    def test_save_swap_recovers_interrupted_rename(self, trained):
+        """Crash-safety: save() writes <name>.new then swaps. If a kill lands
+        between the two renames (``last`` gone, fully-written ``last.new``
+        present), has()/restore() finish the swap instead of reporting the
+        checkpoint missing."""
+        model, trainer, state, _, run_dir = trained
+        from multimodal_moe_tpu.train.state import CheckpointManager
+
+        ckpt = CheckpointManager(run_dir / "weights")
+        # Simulate the mid-swap crash window.
+        (run_dir / "weights" / "last").rename(run_dir / "weights" / "last.new")
+        assert ckpt.has("last")  # recovery ran
+        assert (run_dir / "weights" / "last").exists()
+        restored = ckpt.restore("last", trainer.init_state())
+        assert int(restored.step) == int(state.step)
+
+    def test_resume_refuses_when_checkpoint_lost(self, loaders, tmp_path):
+        """--resume with fit_progress.json present but weights/last missing
+        must raise, not silently retrain from scratch (which would overwrite
+        weights/best with early-epoch weights)."""
+        import shutil
+
+        train_loader, _ = loaders
+        cfg = DetTrainConfig(variant="n", img_h=64, img_w=128, epochs=4,
+                             batch=8, patience=10)
+        trainer = DetectionTrainer(
+            YoloDetector(num_classes=1, variant="n"), cfg,
+            steps_per_epoch=len(train_loader),
+        )
+        trainer.fit(train_loader, run_dir=tmp_path, max_epochs_this_run=1)
+        shutil.rmtree(tmp_path / "weights" / "last")
+        trainer2 = DetectionTrainer(
+            YoloDetector(num_classes=1, variant="n"), cfg,
+            steps_per_epoch=len(train_loader),
+        )
+        with pytest.raises(RuntimeError, match="weights/last is missing"):
+            trainer2.fit(train_loader, run_dir=tmp_path, resume=True)
+
     def test_resume_restores_state(self, trained):
         model, trainer, state, _, run_dir = trained
         from multimodal_moe_tpu.train.state import CheckpointManager
