@@ -161,6 +161,10 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
         "scripts/train_yolo", "scripts/train_rtdetr", "scripts/train_moe",
         "scripts/train_vision_baseline", "scripts/eval_detector",
         "scripts/perf_round3", "/tmp/chain",
+        # A second bench.py (e.g. a cache-warming run still in flight when
+        # the driver's graded run starts) is just as much a second tunnel
+        # client as a trainer; own pid is skipped above.
+        "bench.py",
     )
 
     def busy() -> "str | None":
