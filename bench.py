@@ -150,28 +150,71 @@ def _pick_headline(candidates: dict) -> "tuple[str, float]":
     return name, float(live[name])
 
 
+def _ancestor_pids() -> "set[str]":
+    """Own pid + every ancestor up the ppid chain (wrappers like
+    ``timeout 600 python bench.py`` / ``sh -c 'python bench.py'`` carry the
+    marker in their cmdline and must never count as a second client —
+    ADVICE r3)."""
+    pids = set()
+    pid = os.getpid()
+    for _ in range(64):  # cycle guard
+        pids.add(str(pid))
+        try:
+            stat = open(f"/proc/{pid}/stat", "rb").read().decode(errors="replace")
+            # field 4 (ppid) sits after the parenthesised comm, which may
+            # itself contain spaces/parens — split on the LAST ')'.
+            pid = int(stat.rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+        if pid <= 1:
+            pids.add(str(pid))
+            break
+    return pids
+
+
+def _proc_start_ticks(pid: str) -> int:
+    """Process start time in clock ticks since boot (/proc/<pid>/stat field
+    22); 0 if unreadable. Used to tie-break two racing bench processes."""
+    try:
+        stat = open(f"/proc/{pid}/stat", "rb").read().decode(errors="replace")
+        return int(stat.rsplit(")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> None:
     """Single-client discipline on the tunneled TPU: a second client while a
     trainer/eval/perf process is active wedges the whole machine (memory:
-    axon-tunnel-wedge-recovery). Wait for any other device-using process of
-    this repo to finish, then give the tunnel a quiet period."""
+    axon-tunnel-wedge-recovery). Wait BOUNDEDLY for other device-using
+    processes of this repo, then proceed regardless — contended numbers beat
+    no numbers (VERDICT r3 #1: an unbounded wait behind a stale builder
+    bench cost round 3 its graded perf number).
+
+    Livelock break: two concurrent bench.py processes must not mutually
+    wait. The YOUNGER process (by /proc start time; pid tie-break) treats
+    the older one as stale-in-waiting — it still waits up to the cap, but
+    an older bench NEVER waits on a younger one, so at most one side blocks
+    and both always run.
+    """
     import glob
+    import re
 
     markers = (
         "scripts/train_yolo", "scripts/train_rtdetr", "scripts/train_moe",
         "scripts/train_vision_baseline", "scripts/eval_detector",
         "scripts/perf_round3", "/tmp/chain",
-        # A second bench.py (e.g. a cache-warming run still in flight when
-        # the driver's graded run starts) is just as much a second tunnel
-        # client as a trainer; own pid is skipped above.
-        "bench.py",
     )
+    # A second bench.py is only a real client when it is an interpreter
+    # invocation (not `vim bench.py` / `grep … bench.py` — ADVICE r3).
+    bench_re = re.compile(r"python[^\s]* (?:\S*/)?bench\.py(\s|$)")
+
+    skip = _ancestor_pids()
+    my_start = _proc_start_ticks(str(os.getpid()))
 
     def busy() -> "str | None":
-        me = str(os.getpid())
         for p in glob.glob("/proc/[0-9]*/cmdline"):
             pid = p.split("/")[2]
-            if pid == me:
+            if pid in skip:
                 continue
             try:
                 cmd = open(p, "rb").read().decode(errors="replace").replace("\0", " ")
@@ -180,6 +223,15 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
             for m in markers:
                 if m in cmd:
                     return f"pid {pid}: ...{m}"
+            if bench_re.search(cmd):
+                other_start = _proc_start_ticks(pid)
+                older = other_start < my_start or (
+                    other_start == my_start and int(pid) < os.getpid()
+                )
+                if older:
+                    return f"pid {pid}: ...bench.py"
+                # Younger bench: it defers to us (same rule, mirrored) —
+                # proceed without waiting so the pair can't livelock.
         return None
 
     deadline = time.time() + max_wait_s
@@ -190,15 +242,22 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
             break
         waited = True
         print(f"[bench] waiting for exclusive device ({b})", file=sys.stderr)
-        time.sleep(30.0)
+        time.sleep(15.0)
+    else:
+        print(
+            f"[bench] wait cap {max_wait_s:.0f}s expired - proceeding anyway "
+            f"(contended numbers beat no numbers)",
+            file=sys.stderr,
+        )
     if waited:
         print(f"[bench] device free; {quiet_s:.0f}s tunnel quiet period", file=sys.stderr)
         time.sleep(quiet_s)
 
 
 def main() -> None:
+    # Bounded (default 10 min < any driver timeout — VERDICT r3 #1).
     if not SMOKE:
-        _wait_for_exclusive_device(float(os.environ.get("MMOE_BENCH_WAIT_S", "9000")))
+        _wait_for_exclusive_device(float(os.environ.get("MMOE_BENCH_WAIT_S", "600")))
     import jax
 
     # Smoke runs force a platform (normally cpu); graded runs use the site
@@ -552,6 +611,24 @@ def _backend_init_failure(exc: BaseException) -> bool:
     return "Unable to initialize backend" in s or "UNAVAILABLE" in s
 
 
+def _emit_failure_json(exc: BaseException) -> None:
+    """Last-resort parseable line: a zero-valued record beats rc!=0 with
+    nothing on stdout (VERDICT r3 #1 'always emit the JSON line')."""
+    print(
+        json.dumps(
+            {
+                "metric": "ZOD detect img/s/chip (YOLO-s 1248×704 serving, "
+                          "NMS IoU 0.7; best measured config)",
+                "value": 0.0,
+                "unit": "img/s",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     try:
         main()
@@ -572,4 +649,8 @@ if __name__ == "__main__":
             time.sleep(quiet)
             env = dict(os.environ, MMOE_BENCH_RETRY=str(tries - 1))
             os.execve(sys.executable, [sys.executable, __file__], env)
+        _emit_failure_json(e)
+        raise
+    except Exception as e:  # pragma: no cover - last-resort grading guard
+        _emit_failure_json(e)
         raise
