@@ -44,6 +44,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--frames", type=int, default=5000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument(
+        "--height-dist", type=str, default="zod704", choices=["zod704", "easy"],
+        help="pedestrian height distribution: zod704 matches the reference's "
+        "real-ZOD 704p quantiles (p50 18.94px); easy is the legacy "
+        "large-figure corpus (uniform 120-700px full-res)",
+    )
     p.add_argument("--new-w", type=int, default=1248)
     p.add_argument("--new-h", type=int, default=704)
     return p.parse_args()
@@ -56,7 +62,8 @@ def main() -> None:
 
     print(f"[1/4] render raw tree -> {root}/raw ({args.frames} frames)", flush=True)
     zod_root = make_synthetic_zod_tree(
-        root / "raw", args.frames, seed=args.seed, progress=True
+        root / "raw", args.frames, seed=args.seed, progress=True,
+        height_dist=args.height_dist,
     )
     t1 = time.time()
     print(f"      done in {t1 - t0:.0f}s", flush=True)
