@@ -155,6 +155,89 @@ CASES = {
                     ap_small=-1.0, ap_medium=-1.0, ap_large=AP_HALF_51,
                     ar_1=0.5, ar_10=0.5, ar_100=0.5),
     ),
+    # K: duplicate-score tie WITHIN one image (VERDICT r3 #9). pycocotools
+    # sorts dets with argsort(-score, kind='mergesort') — STABLE — so equal
+    # scores keep their listed order: the FP (listed first) consumes rank 1.
+    # Points: (r=0,p=0) then (r=1,p=1/2); envelope q(r)=0.5 everywhere ->
+    # AP=0.5 at every threshold. If an implementation tie-broke the other
+    # way the TP would rank first and AP would be 1.0 — this case
+    # discriminates. ar_1: maxDets=1 keeps the first-sorted det = the FP ->
+    # recall 0. Both boxes are large-area so the FP stays in-range.
+    "tie_within_image": dict(
+        det=[B([200, 200, 300, 300], [0, 0, 100, 100])],
+        scores=[S(0.5, 0.5)], gt=[B([0, 0, 100, 100])],
+        expect=dict(map50_95=0.5, map50=0.5, map75=0.5,
+                    ap_small=-1.0, ap_medium=-1.0, ap_large=0.5,
+                    ar_1=0.0, ar_10=1.0, ar_100=1.0),
+    ),
+    # K2: duplicate-score tie ACROSS images. accumulate() concatenates
+    # per-image dtScores in image order then stable-sorts, so the tie keeps
+    # image order: img1's FP ranks before img2's TP. Points (r=0,p=0),
+    # (r=0.5,p=0.5) -> envelope 0.5 through recall 0.50 -> AP = 0.5*51/101
+    # (the opposite tie order would give 51/101). ar_1: per-image top-1 =
+    # {FP, TP} -> 1 of 2 GTs -> 0.5.
+    "tie_across_images": dict(
+        det=[B([300, 300, 400, 400]), B([0, 0, 100, 100])],
+        scores=[S(0.5), S(0.5)],
+        gt=[B([0, 0, 100, 100]), B([0, 0, 100, 100])],
+        expect=dict(map50_95=AP_HALF_51, map50=AP_HALF_51, map75=AP_HALF_51,
+                    ap_small=-1.0, ap_medium=-1.0, ap_large=AP_HALF_51,
+                    ar_1=0.5, ar_10=0.5, ar_100=0.5),
+    ),
+    # L: INCLUSIVE area-range edges. GT [0,0,32,32] has area exactly
+    # 32^2=1024, which pycocotools counts in BOTH the small range [0,1024]
+    # and the medium range [1024,9216] (gtIg tests area<lo or area>hi,
+    # edges inclusive). A perfect det -> ap_small=1 AND ap_medium=1;
+    # large has no GT -> -1. An exclusive-edge implementation would emit a
+    # -1 sentinel in one of the two ranges.
+    "area_edge_inclusive_1024": dict(
+        det=[B([0, 0, 32, 32])], scores=[S(0.9)], gt=[B([0, 0, 32, 32])],
+        expect=dict(map50_95=1.0, map50=1.0, map75=1.0,
+                    ap_small=1.0, ap_medium=1.0, ap_large=-1.0,
+                    ar_1=1.0, ar_10=1.0, ar_100=1.0),
+    ),
+    # M: UNMATCHED-det ignore edge. GT [0,0,40,40] (1600, medium) with a
+    # perfect det at 0.8, plus a far-away unmatched det [100,100,132,132]
+    # of area exactly 1024 at 0.9.
+    #  all:    FP(0.9) outranks TP(0.8) -> envelope 0.5 -> 0.5 everywhere.
+    #  medium: det area 1024 is ON the inclusive lower edge [1024,9216] ->
+    #          NOT ignored -> still a leading FP -> ap_medium=0.5. (An
+    #          exclusive-edge implementation would ignore it -> 1.0.)
+    #  small:  GT 1600 out of range -> ignored -> no GT -> -1 (the
+    #          in-range 1024 det never creates metrics without GT).
+    #  large:  GT ignored; matched det -> ignored; unmatched det out of
+    #          range -> ignored -> -1.
+    #  ar_1:   top-1 is the FP -> recall 0.
+    "ignored_det_area_edge": dict(
+        det=[B([100, 100, 132, 132], [0, 0, 40, 40])],
+        scores=[S(0.9, 0.8)], gt=[B([0, 0, 40, 40])],
+        expect=dict(map50_95=0.5, map50=0.5, map75=0.5,
+                    ap_small=-1.0, ap_medium=0.5, ap_large=-1.0,
+                    ar_1=0.0, ar_10=1.0, ar_100=1.0),
+    ),
+    # N: a VALID match beats a higher-IoU IGNORED match. GT_v [0,0,30,30]
+    # (900: small), GT_i [0,0,30,46] (1380: medium). det [0,0,30,45]
+    # (1350): IoU(det,GT_v) = 900/1350 = 2/3; IoU(det,GT_i) = 1350/1380
+    # = 0.97826.
+    #  small: GT_i ignored. pycocotools keeps a valid match once found
+    #         (it breaks rather than switch to an ignored gt), so for
+    #         t in {.50,.55,.60,.65} the det is a TP on GT_v (AP=1); for
+    #         t >= .70 the valid match fails, the det matches the ignored
+    #         GT_i (0.978 >= t) and is ignored -> recall 0, no FP -> AP=0.
+    #         ap_small = 4/10.
+    #  medium: GT_i valid (IoU 0.978 >= all 10 thresholds) -> TP, 1 GT in
+    #         range -> ap_medium = 1.
+    #  all:   both GTs valid; best-IoU valid match is GT_i -> TP at all
+    #         thresholds, GT_v never detected -> recall 1/2 at p=1 ->
+    #         AP = 51/101 everywhere.
+    #  large: no GT in range -> -1.  AR(all) = 0.5 at every maxDets cap.
+    "valid_match_beats_ignored": dict(
+        det=[B([0, 0, 30, 45])], scores=[S(0.9)],
+        gt=[B([0, 0, 30, 30], [0, 0, 30, 46])],
+        expect=dict(map50_95=AP_51, map50=AP_51, map75=AP_51,
+                    ap_small=0.4, ap_medium=1.0, ap_large=-1.0,
+                    ar_1=0.5, ar_10=0.5, ar_100=0.5),
+    ),
 }
 
 
