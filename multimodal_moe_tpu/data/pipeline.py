@@ -364,7 +364,18 @@ def prefetch_to_device(
     def _put(batch):
         nonlocal convert
         if sharding is not None:
-            batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+            if jax.process_count() > 1:
+                # Multi-process: every process holds only ITS loader shard
+                # (disjoint rows, see DetectionLoader process_index/count);
+                # assemble the global batch from the per-process local data.
+                batch = jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)
+                    ),
+                    batch,
+                )
+            else:
+                batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         else:
             batch = jax.tree.map(jax.device_put, batch)
         if "y" in batch:

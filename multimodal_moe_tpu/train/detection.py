@@ -210,6 +210,12 @@ class DetectionTrainer:
         run_dir = Path(run_dir)
         self.steps_per_epoch = self.steps_per_epoch or len(train_loader)
         ckpt = CheckpointManager(run_dir / "weights")
+        # Multi-process: checkpoint saves are collective (every rank calls
+        # them, Orbax coordinates); plain-file artifacts (fit_progress.json)
+        # and console logs come from process 0 only. Decision state (best
+        # fitness, early stop) derives from replicated metrics, so every
+        # rank takes identical branches without communication.
+        is_lead = jax.process_index() == 0
 
         if state is None:
             state = self.init_state()
@@ -308,27 +314,30 @@ class DetectionTrainer:
                 epochs_without_improvement = 0
             else:
                 epochs_without_improvement += 1
-            print(
-                f"epoch {epoch + 1}/{cfg.epochs} "
-                + " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "epoch")
-            )
-            progress_path.write_text(json.dumps({
-                "epoch": epoch,
-                "best_fitness": best_fitness,
-                "epochs_without_improvement": epochs_without_improvement,
-                "train_wall_s_accum": wall_accum + (time.perf_counter() - t_start),
-                "history": history,
-            }))
+            if is_lead:
+                print(
+                    f"epoch {epoch + 1}/{cfg.epochs} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "epoch")
+                )
+                progress_path.write_text(json.dumps({
+                    "epoch": epoch,
+                    "best_fitness": best_fitness,
+                    "epochs_without_improvement": epochs_without_improvement,
+                    "train_wall_s_accum": wall_accum + (time.perf_counter() - t_start),
+                    "history": history,
+                }))
             epochs_this_run += 1
             if epochs_without_improvement > cfg.patience:
-                print(f"Early stopping at epoch {epoch + 1} (patience {cfg.patience}).")
+                if is_lead:
+                    print(f"Early stopping at epoch {epoch + 1} (patience {cfg.patience}).")
                 stopped_early = True
                 break
             if max_epochs_this_run and epochs_this_run >= max_epochs_this_run:
-                print(
-                    f"Pausing after {epochs_this_run} epochs this run "
-                    f"(resume with --resume to continue)."
-                )
+                if is_lead:
+                    print(
+                        f"Pausing after {epochs_this_run} epochs this run "
+                        f"(resume with --resume to continue)."
+                    )
                 break
 
         wall = wall_accum + (time.perf_counter() - t_start)

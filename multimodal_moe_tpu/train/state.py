@@ -98,7 +98,14 @@ def _decay_mask(params):
 # ---------------------------------------------------------------------------
 
 class CheckpointManager:
-    """best/last checkpoints with resume (Orbax under the hood)."""
+    """best/last checkpoints with resume (Orbax under the hood).
+
+    Multi-process safe: every process must call ``save``/``restore``/``has``
+    in the same order (Orbax writes are collective — each process persists
+    its addressable shards); the filesystem bookkeeping around them (stale
+    cleanup, the crash-safe rename swap, recovery) runs on process 0 only,
+    fenced with global barriers so no rank races ahead of the swap.
+    """
 
     def __init__(self, run_dir: "str | Path"):
         import orbax.checkpoint as ocp
@@ -109,6 +116,17 @@ class CheckpointManager:
 
     def _path(self, name: str) -> Path:
         return self.run_dir / name
+
+    @staticmethod
+    def _is_lead() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _sync(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
 
     def save(self, name: str, state: TrainState) -> Path:
         """Crash-safe save: write to a sibling ``<name>.new`` dir, then swap.
@@ -125,16 +143,21 @@ class CheckpointManager:
         path = self._path(name)
         new = self._path(name + ".new")
         old = self._path(name + ".old")
-        for stale in (new, old):
-            if stale.exists():
-                shutil.rmtree(stale)
+        if self._is_lead():
+            for stale in (new, old):
+                if stale.exists():
+                    shutil.rmtree(stale)
+        self._sync(f"ckpt-pre-{name}")
         self._ckptr.save(new, state, force=True)
         self._ckptr.wait_until_finished()
-        if path.exists():
-            path.rename(old)
-        new.rename(path)
-        if old.exists():
-            shutil.rmtree(old)
+        self._sync(f"ckpt-written-{name}")
+        if self._is_lead():
+            if path.exists():
+                path.rename(old)
+            new.rename(path)
+            if old.exists():
+                shutil.rmtree(old)
+        self._sync(f"ckpt-swapped-{name}")
         return path
 
     def _recover(self, name: str) -> None:
@@ -143,8 +166,9 @@ class CheckpointManager:
         renames its ``*.orbax-checkpoint-tmp`` staging dir to ``<name>.new``
         once the write completed), finish the swap."""
         path, new = self._path(name), self._path(name + ".new")
-        if not path.exists() and new.exists():
+        if self._is_lead() and not path.exists() and new.exists():
             new.rename(path)
+        self._sync(f"ckpt-recover-{name}")
 
     def save_last(self, state: TrainState) -> Path:
         return self.save("last", state)
