@@ -115,17 +115,25 @@ class BatchingDetector:
         *,
         context_id: int = 0,
         conf: Optional[float] = None,
+        orig_size: "Optional[Tuple[int, int]]" = None,
     ) -> "Future[List[dict]]":
         """Queue one image (H, W, 3 uint8, any resolution); the future
         resolves to a list of ``{"xyxy": [...], "score": s}`` detections in
-        the source image's pixel space."""
+        the source image's pixel space.
+
+        ``orig_size`` (width, height): pass when ``image`` was already
+        decoded+resized to model space by the caller (the HTTP handler's
+        native-decode fast path) so detections still map back to the source
+        pixel grid."""
         if self._closed:
             raise RuntimeError("server is closed")
         image = np.asarray(image)
         if image.ndim != 3 or image.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) image, got {image.shape}")
         h0, w0 = image.shape[:2]
-        if (h0, w0) != (self.img_h, self.img_w):
+        if orig_size is not None:
+            w0, h0 = int(orig_size[0]), int(orig_size[1])
+        if image.shape[:2] != (self.img_h, self.img_w):
             from PIL import Image
 
             image = np.asarray(
@@ -219,7 +227,41 @@ class BatchingDetector:
                     req.future.set_exception(e)
 
 
+def _jpeg_dims(data: bytes) -> "Optional[Tuple[int, int]]":
+    """(width, height) from a JPEG's SOF marker, or None if not a parseable
+    JPEG. ~µs header probe so the native decoder (which resizes during
+    decode and never materializes the full-res image) can be used while
+    still reporting detections in source-pixel space."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    i = 2
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
+            return None
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = (data[i + 5] << 8) | data[i + 6]
+            w = (data[i + 7] << 8) | data[i + 8]
+            return (w, h) if w and h else None
+        i += 2 + seg_len
+    return None
+
+
 class _Handler(BaseHTTPRequestHandler):
+    # Keep-alive: without it every request tears down its TCP connection and
+    # ThreadingHTTPServer spawns a fresh thread per request — measured as
+    # the first wall in the concurrent load test. Safe because every
+    # response path sends Content-Length.
+    protocol_version = "HTTP/1.1"
+
     def _json(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
@@ -246,12 +288,27 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", "0"))
             body = self.rfile.read(length)
-            from PIL import Image
-
-            with Image.open(io.BytesIO(body)) as im:
-                arr = np.asarray(im.convert("RGB"), np.uint8)
-            qs = parse_qs(parsed.query)
             kw: Dict[str, Any] = {}
+            # Fast path: native libjpeg decode straight to model resolution
+            # (decode-time resize, no full-res materialization, no PIL);
+            # source dims come from the ~µs SOF header probe. Bit-parity of
+            # the native decoder vs PIL is regression-tested
+            # (tests/test_native_decode.py).
+            arr = None
+            dims = _jpeg_dims(body)
+            if dims is not None:
+                from .data.native_decode import decode_jpeg_bytes, native_available
+
+                if native_available():
+                    arr = decode_jpeg_bytes(body, det.img_h, det.img_w)
+                    kw["orig_size"] = dims
+            if arr is None:
+                from PIL import Image
+
+                with Image.open(io.BytesIO(body)) as im:
+                    arr = np.asarray(im.convert("RGB"), np.uint8)
+                dims = (arr.shape[1], arr.shape[0])
+            qs = parse_qs(parsed.query)
             if "context" in qs:
                 kw["context_id"] = int(qs["context"][0])
             if "conf" in qs:
@@ -260,8 +317,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(
                 200,
                 {
-                    "width": arr.shape[1],
-                    "height": arr.shape[0],
+                    "width": dims[0],
+                    "height": dims[1],
                     "detections": dets,
                 },
             )

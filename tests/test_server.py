@@ -173,3 +173,41 @@ def test_detr_family_takes_nms_free_tail():
     assert res.scores.shape == (2, 5)
     assert bool(res.valid.all())
     assert float(res.scores[0, 0]) > float(res.scores[0, -1])
+
+
+def test_jpeg_dims_probe():
+    """SOF header probe: correct (w, h) for baseline + progressive JPEGs,
+    None for non-JPEG bytes (the handler's native-decode gate)."""
+    from PIL import Image
+
+    from multimodal_moe_tpu.server import _jpeg_dims
+
+    arr = _img(5, h=123, w=457)
+    for progressive in (False, True):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", progressive=progressive)
+        assert _jpeg_dims(buf.getvalue()) == (457, 123), progressive
+    png = io.BytesIO()
+    Image.fromarray(arr).save(png, format="PNG")
+    assert _jpeg_dims(png.getvalue()) is None
+    assert _jpeg_dims(b"") is None
+    assert _jpeg_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no SOF
+
+
+def test_submit_orig_size_maps_back(detector):
+    """A pre-resized (model-space) image with an explicit orig_size must
+    return detections in the ORIGINAL pixel grid — the HTTP handler's
+    native-decode fast path contract."""
+    dets_native = detector.predict(_img(3), orig_size=(3 * W, 2 * H))
+    assert len(dets_native) > 0
+    for d in dets_native:
+        x1, y1, x2, y2 = d["xyxy"]
+        assert 0 <= x1 <= 3 * W and 0 <= x2 <= 3 * W
+        assert 0 <= y1 <= 2 * H and 0 <= y2 <= 2 * H
+    # Scaling matches the full resize path up to interpolation differences:
+    # the same model-space pixels, so identical boxes exactly.
+    dets_model = detector.predict(_img(3))
+    assert len(dets_model) == len(dets_native)
+    for dm, dn in zip(dets_model, dets_native):
+        assert dn["xyxy"][0] == pytest.approx(dm["xyxy"][0] * 3, abs=0.05)
+        assert dn["xyxy"][1] == pytest.approx(dm["xyxy"][1] * 2, abs=0.05)
