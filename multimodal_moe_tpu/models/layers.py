@@ -13,6 +13,7 @@ The reference consumes these architectures from Ultralytics binaries
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax.numpy as jnp
@@ -20,6 +21,43 @@ from flax import linen as nn
 from jax import lax
 
 from ..quant import QT, absmax_sow_kwargs, q_split2, qcat, quantize_to
+
+
+def apply_i8_epilogue(y32, scale, bias, act: bool, s_out) -> jnp.ndarray:
+    """The int8 conv epilogue: dequant → (SiLU) → requant, fused by XLA into
+    the conv. The xplane trace of the B128 serving graph puts 55.5 of
+    84.8 ms inside these conv+epilogue fusions vs a ~29 ms int8 MXU roof —
+    the VPU elementwise chain is the wall (docs/performance.md round-4).
+
+    ``MMOE_I8_EPILOGUE`` selects the variant (read at trace time):
+      bf16   — dequant+SiLU in bf16, requant from fp32 (DEFAULT: measured
+               B128 serving 85.2 -> 72.7 ms, +17%; the bf16 mantissa's
+               ≤1-quant-step perturbation is inside int8 noise —
+               tests/test_quant.py::test_bf16_epilogue_within_quant_noise)
+      silu   — exact fp32 SiLU (matches the fp model bit-for-bit up to
+               requant rounding; the accuracy reference)
+      hswish — hard-SiLU x·relu6(x+3)/6 (≤0.07 abs error around |x|≈3;
+               cheap polynomial-free epilogue — accuracy must be re-checked
+               per checkpoint before serving with it)
+      linear — no activation (perf lower bound only; NOT a serving mode)
+    """
+    mode = os.environ.get("MMOE_I8_EPILOGUE", "bf16")
+    if mode == "bf16":
+        y = y32.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16) + bias.astype(
+            jnp.bfloat16
+        )
+        if act:
+            y = y * nn.sigmoid(y)
+        return quantize_to(y.astype(jnp.float32), s_out)
+    y = y32.astype(jnp.float32) * scale + bias
+    if act:
+        if mode == "hswish":
+            y = y * jnp.clip(y + 3.0, 0.0, 6.0) * (1.0 / 6.0)
+        elif mode == "linear":
+            pass
+        else:
+            y = y * nn.sigmoid(y)
+    return quantize_to(y, s_out)
 
 Dtype = Any
 
@@ -72,10 +110,10 @@ class ConvBNAct(nn.Module):
                 feature_group_count=self.groups,
                 preferred_element_type=jnp.int32,
             )
-            y = y32.astype(jnp.float32) * (x.s * s_w.value) + b.value
-            if self.act:
-                y = nn.silu(y)
-            return QT(quantize_to(y, s_out.value), s_out.value)
+            q = apply_i8_epilogue(
+                y32, x.s * s_w.value, b.value, self.act, s_out.value
+            )
+            return QT(q, s_out.value)
 
         x = nn.Conv(
             self.features,

@@ -296,9 +296,26 @@ class YoloDetector(nn.Module):
         )
 
         anchor_points, anchor_strides = make_anchors(img_h, img_w)
-        boxes = decode_boxes(
-            box_logits, jnp.asarray(anchor_points), jnp.asarray(anchor_strides)
-        )
+        # Decode PER LEVEL, then concat the (B, A, 4) boxes: identical math
+        # (DFL softmax is per-anchor), but the serving graph never
+        # materializes the (B, A, 64) fp32 logit concat — at B128/18018
+        # anchors that intermediate alone is 590 MB (xplane: a 3.5 ms
+        # pad_maximum plus siblings). The 64-wide concat above survives only
+        # in the training graph (the loss reads it); XLA DCEs it in serving.
+        lvl_boxes = []
+        off = 0
+        for m in box_maps:
+            lg = m.reshape(b, -1, 4 * REG_MAX)
+            n = lg.shape[1]
+            lvl_boxes.append(
+                decode_boxes(
+                    lg,
+                    jnp.asarray(anchor_points[off : off + n]),
+                    jnp.asarray(anchor_strides[off : off + n]),
+                )
+            )
+            off += n
+        boxes = jnp.concatenate(lvl_boxes, axis=1)
         return {
             "box_logits": box_logits.astype(jnp.float32),   # (B, A, 64)
             "cls_logits": cls_logits.astype(jnp.float32),   # (B, A, nc)

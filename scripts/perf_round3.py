@@ -452,6 +452,179 @@ def section_tracei8(jax, jnp):
     out("tracei8", trace_dir=trace_dir)
 
 
+def section_epi(jax, jnp):
+    """int8 conv-epilogue microbench (round-4): one representative
+    ConvBNAct-shaped int8 conv (3x3 128->128 at P3 spatial, B128) per
+    epilogue variant. The tracei8 trace put 55.5/84.8 ms inside
+    conv+epilogue fusions; this isolates how much of a fusion is the VPU
+    epilogue without paying a full-model compile per variant."""
+    import os as _os
+
+    from jax import lax
+
+    B, h, w, c = 32, 88, 156, 128
+    rng = np.random.default_rng(0)
+    xq = jnp.asarray(rng.integers(-127, 127, (B, h, w, c)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-127, 127, (3, 3, c, c)).astype(np.int8))
+    scale = jnp.asarray(rng.random(c).astype(np.float32) * 1e-3)
+    bias = jnp.asarray(rng.random(c).astype(np.float32))
+    s_out = jnp.float32(0.05)
+
+    from multimodal_moe_tpu.models.layers import apply_i8_epilogue
+
+    def make(mode, depth=8):
+        def fn(xq, wq, scale, bias, s_out):
+            _os.environ["MMOE_I8_EPILOGUE"] = mode
+            q = xq
+            for _ in range(depth):  # chain so the fusion dominates dispatch
+                y32 = lax.conv_general_dilated(
+                    q, wq, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                q = apply_i8_epilogue(y32, scale, bias, True, s_out)
+            return q.astype(jnp.int32).sum()
+
+        return jax.jit(fn)
+
+    # MXU-only bound: conv chain with a cast-to-int8 epilogue (no scale/act).
+    def conv_only(xq, wq, scale, bias, s_out):
+        q = xq
+        for _ in range(8):
+            y32 = lax.conv_general_dilated(
+                q, wq, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            q = jnp.clip(y32 // 1024, -127, 127).astype(jnp.int8)
+        return q.astype(jnp.int32).sum()
+
+    gflop = 2 * B * h * w * c * c * 9 * 8 / 1e9
+    s = timed_scalar(jax.jit(conv_only), xq, wq, scale, bias, s_out, reps=4)
+    out("epi", mode="conv_intdiv", ms=round(s * 1e3, 2),
+        tops=round(gflop / s / 1e3, 1))
+    for mode in ("silu", "bf16", "hswish", "linear"):
+        s = timed_scalar(make(mode), xq, wq, scale, bias, s_out, reps=4)
+        out("epi", mode=mode, ms=round(s * 1e3, 2), tops=round(gflop / s / 1e3, 1))
+
+    # Raw MXU rate probes: where does the int8 ceiling actually sit on this
+    # chip/runtime? s8 vs bf16, matmul vs conv.
+    M = K = N = 8192
+    a8 = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
+    b8 = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
+    abf = a8.astype(jnp.bfloat16)
+    bbf = b8.astype(jnp.bfloat16)
+    mm_gflop = 2 * M * K * N / 1e9
+
+    @jax.jit
+    def mm_s8(a, b):
+        y = jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return (y // 65536).astype(jnp.int32).sum()
+
+    @jax.jit
+    def mm_bf16(a, b):
+        y = jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return y.sum()
+
+    s = timed_scalar(mm_s8, a8, b8, reps=4)
+    out("epi", mode="matmul_s8_8k", ms=round(s * 1e3, 2),
+        tops=round(mm_gflop / s / 1e3, 1))
+    s = timed_scalar(mm_bf16, abf, bbf, reps=4)
+    out("epi", mode="matmul_bf16_8k", ms=round(s * 1e3, 2),
+        tops=round(mm_gflop / s / 1e3, 1))
+
+    # Same conv chain in bf16 (is s8 conv actually faster than bf16 conv?).
+    xb = xq.astype(jnp.bfloat16)
+    wb = wq.astype(jnp.bfloat16)
+
+    @jax.jit
+    def conv_bf16(x, w):
+        y = x
+        for _ in range(8):
+            y = lax.conv_general_dilated(
+                y, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            y = (y * 1e-3).astype(jnp.bfloat16)
+        return y.astype(jnp.float32).sum()
+
+    s = timed_scalar(conv_bf16, xb, wb, reps=4)
+    out("epi", mode="conv_bf16", ms=round(s * 1e3, 2),
+        tops=round(gflop / s / 1e3, 1))
+
+    # Wider-channel s8 conv (256ch at P4 spatial): does MXU efficiency rise?
+    c2 = 256
+    xq2 = jnp.asarray(rng.integers(-127, 127, (B, 44, 78, c2)).astype(np.int8))
+    wq2 = jnp.asarray(rng.integers(-127, 127, (3, 3, c2, c2)).astype(np.int8))
+
+    @jax.jit
+    def conv_s8_256(x, w):
+        q = x
+        for _ in range(8):
+            y32 = lax.conv_general_dilated(
+                q, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            q = jnp.clip(y32 // 1024, -127, 127).astype(jnp.int8)
+        return q.astype(jnp.int32).sum()
+
+    gflop2 = 2 * B * 44 * 78 * c2 * c2 * 9 * 8 / 1e9
+    s = timed_scalar(conv_s8_256, xq2, wq2, reps=4)
+    out("epi", mode="conv_s8_256ch", ms=round(s * 1e3, 2),
+        tops=round(gflop2 / s / 1e3, 1))
+
+
+def section_epifull(jax, jnp):
+    """Full int8 B128 serving graph per epilogue variant (compile-heavy;
+    run after `epi` picks the winner). Also times forward-only (no NMS) to
+    size the serving tail."""
+    import os as _os
+
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    model_i8 = YoloDetector(num_classes=1, variant="s", int8=True)
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    qvars = qz.quantize_detector(model, model_i8, variables, calib)
+    img = jnp.zeros((128, H, W, 3), jnp.uint8)
+
+    modes = sys.argv[2:] or ["silu", "bf16"]
+
+    def make(mode, with_nms):
+        def fn(v, im):
+            _os.environ["MMOE_I8_EPILOGUE"] = mode
+            o = model_i8.apply(v, im.astype(jnp.float32) / 255.0, train=False)
+            if not with_nms:
+                return o["cls_logits"].sum() + o["boxes"].sum()
+            return batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=512,
+            ).valid.sum()
+
+        return jax.jit(fn)
+
+    for mode in modes:
+        s = timed_scalar(make(mode, True), qvars, img, reps=4)
+        out("epifull", mode=mode, nms=True, ms=round(s * 1e3, 1),
+            img_s=round(128 / s, 1))
+    s = timed_scalar(make(modes[0], False), qvars, img, reps=4)
+    out("epifull", mode=modes[0], nms=False, ms=round(s * 1e3, 1),
+        img_s=round(128 / s, 1))
+
+
 def section_trace(jax, jnp):
     from multimodal_moe_tpu.models.yolo import YoloDetector
     from multimodal_moe_tpu.ops.nms import batched_nms

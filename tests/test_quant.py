@@ -250,3 +250,22 @@ def test_calibration_accumulates_max():
     a1 = float(np.asarray(qc_small["out_absmax"]))
     a2 = float(np.asarray(qc_both["out_absmax"]))
     assert a2 == pytest.approx(10.0 * a1, rel=1e-5)
+
+
+def test_bf16_epilogue_within_quant_noise(tiny_quantized, monkeypatch):
+    """MMOE_I8_EPILOGUE=bf16 (dequant+SiLU computed in bf16, the serving
+    perf variant — docs/performance.md round-4 epilogue study) must stay
+    within int8 quantization noise of the exact fp32-epilogue path: the
+    int8 output codes are 8-bit anyway, so a bf16 (8-bit mantissa)
+    epilogue perturbs at most ~1 quant step."""
+    m, mq, variables, qvars, imgs = tiny_quantized
+    monkeypatch.setenv("MMOE_I8_EPILOGUE", "silu")
+    ref = jax.jit(lambda v, x: mq.apply(v, x, train=False))(qvars, imgs[0])
+    ref = jax.tree.map(np.asarray, ref)  # materialize before the env flips
+    monkeypatch.setenv("MMOE_I8_EPILOGUE", "bf16")
+    alt = jax.jit(lambda v, x: mq.apply(v, x, train=False))(qvars, imgs[0])
+    for key in ("boxes", "cls_logits"):
+        a, b = np.asarray(ref[key]), np.asarray(alt[key])
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995, key
+        assert np.abs(a - b).max() / denom < 0.08, key
