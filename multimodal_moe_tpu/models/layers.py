@@ -23,7 +23,7 @@ from jax import lax
 from ..quant import QT, absmax_sow_kwargs, q_split2, qcat, quantize_to
 
 
-def apply_i8_epilogue(y32, scale, bias, act: bool, s_out) -> jnp.ndarray:
+def apply_i8_epilogue(y32, scale, bias, act: bool, s_out, act_kind: str = "silu") -> jnp.ndarray:
     """The int8 conv epilogue: dequant → (SiLU) → requant, fused by XLA into
     the conv. The xplane trace of the B128 serving graph puts 55.5 of
     84.8 ms inside these conv+epilogue fusions vs a ~29 ms int8 MXU roof —
@@ -47,11 +47,13 @@ def apply_i8_epilogue(y32, scale, bias, act: bool, s_out) -> jnp.ndarray:
             jnp.bfloat16
         )
         if act:
-            y = y * nn.sigmoid(y)
+            y = nn.relu(y) if act_kind == "relu" else y * nn.sigmoid(y)
         return quantize_to(y.astype(jnp.float32), s_out)
     y = y32.astype(jnp.float32) * scale + bias
     if act:
-        if mode == "hswish":
+        if act_kind == "relu":
+            y = nn.relu(y)
+        elif mode == "hswish":
             y = y * jnp.clip(y + 3.0, 0.0, 6.0) * (1.0 / 6.0)
         elif mode == "linear":
             pass

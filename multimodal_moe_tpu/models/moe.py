@@ -365,12 +365,13 @@ def moe_apply_sweep_int8(
     x32 = jnp.einsum(
         "td,edh->eth", tokens_q, w1_q, preferred_element_type=jnp.int32
     )
-    mid = nn.silu(
-        x32.astype(jnp.float32) * (token_scale * s_w1[:, None, :]) + b1
+    # Mid epilogue goes through the shared switchable path (bf16 default —
+    # the round-4 epilogue study in docs/performance.md).
+    from .layers import apply_i8_epilogue
+
+    mid_q = apply_i8_epilogue(
+        x32, token_scale * s_w1[:, None, :], b1, True, s_mid[:, None, None]
     )
-    mid_q = jnp.clip(
-        jnp.round(mid / s_mid[:, None, None]), -127, 127
-    ).astype(jnp.int8)
     y32 = jnp.einsum(
         "eth,ehd->etd", mid_q, w2_q, preferred_element_type=jnp.int32
     )

@@ -60,10 +60,13 @@ class _ConvBN(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            y = y32.astype(jnp.float32) * (x.s * s_w.value) + b.value
-            if self.act:
-                y = nn.relu(y)
-            return QT(quantize_to(y, s_out.value), s_out.value)
+            from .layers import apply_i8_epilogue
+
+            q = apply_i8_epilogue(
+                y32, x.s * s_w.value, b.value, self.act, s_out.value,
+                act_kind="relu",
+            )
+            return QT(q, s_out.value)
 
         x = nn.Conv(
             self.features,
