@@ -64,6 +64,12 @@ def test_wait_skips_editor_and_younger_bench(tmp_path, monkeypatch):
     other = subprocess.Popen([_sys.executable, str(sleeper)])
     try:
         _time.sleep(0.2)
+        # Hermetic /proc view: only our two subprocesses (a concurrently
+        # running real trainer on the host must not trip the scan).
+        import glob as _glob
+
+        view = [f"/proc/{editor.pid}/cmdline", f"/proc/{other.pid}/cmdline"]
+        monkeypatch.setattr(_glob, "glob", lambda pat: list(view))
         monkeypatch.setattr(bench.time, "sleep", lambda s: None)
         t0 = _time.perf_counter()
         bench._wait_for_exclusive_device(max_wait_s=30.0, quiet_s=0.0)
@@ -87,6 +93,10 @@ def test_wait_cap_expires_against_older_bench(tmp_path, monkeypatch):
     other = subprocess.Popen([_sys.executable, str(sleeper)])
     try:
         _time.sleep(0.2)
+        import glob as _glob
+
+        view = [f"/proc/{other.pid}/cmdline"]
+        monkeypatch.setattr(_glob, "glob", lambda pat: list(view))
         # Force the other process to look older than us.
         monkeypatch.setattr(bench, "_proc_start_ticks", lambda pid: 0 if pid != str(__import__("os").getpid()) else 10**12)
         slept = []
