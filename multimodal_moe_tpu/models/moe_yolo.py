@@ -43,6 +43,7 @@ class MoEYoloDetector(nn.Module):
     # the residual/combine stay fp. Serving variables =
     # {'quant': ..., 'params': ...} via quant.merge_serving_variables.
     int8: bool = False
+    remat: bool = False  # rematerialize backbone+neck stages (HBM ↔ recompute)
 
     context_aware: bool = True  # trainer passes context_ids when True
 
@@ -61,8 +62,8 @@ class MoEYoloDetector(nn.Module):
         kw = dict(variant=self.variant, dtype=self.dtype, axis_name=self.axis_name)
         if self.int8:
             images = q_from_images(images)
-        feats = Backbone(**kw, arch=self.arch, name="backbone")(images, train)
-        feats = PANNeck(**kw, arch=self.arch, name="neck")(feats, train)
+        feats = Backbone(**kw, arch=self.arch, remat=self.remat, name="backbone")(images, train)
+        feats = PANNeck(**kw, arch=self.arch, remat=self.remat, name="neck")(feats, train)
 
         aux_total = jnp.zeros((), jnp.float32)
         expert_loads = []

@@ -77,6 +77,38 @@ def scaled_depths(variant: str) -> "list[int]":
     return [max(1, round(n * d)) for n in BASE_DEPTHS]
 
 
+class _AutoNamer:
+    """Reproduce flax's compact auto-naming (``ClassName_<i>`` with a
+    per-class counter) so modules can be given *explicit* names that are
+    byte-identical to the auto-assigned ones. Needed because wrapping a
+    stage in ``nn.remat`` changes its auto-name ("CheckpointPlainStage_0"),
+    which would fork the param tree — with explicit names, checkpoints are
+    interchangeable between remat and non-remat modes (same trick as
+    resnet.py:200-202)."""
+
+    def __init__(self):
+        self._counts: "Dict[str, int]" = {}
+
+    def __call__(self, cls) -> str:
+        base = cls.__name__
+        i = self._counts.get(base, 0)
+        self._counts[base] = i + 1
+        return f"{base}_{i}"
+
+
+def _stage_classes(remat: bool):
+    """The five stage classes, optionally remat-wrapped (train=arg 2 is
+    static). Rematerializing each stage on the backward pass is the classic
+    TPU HBM-for-FLOPs trade: at 704×1248×B16 the /4 and /8 stages hold
+    multi-GB of bf16 activations, which is exactly what pushed yolo-m +
+    the HBM-resident data store (data/resident.py, ~5.3 GB) past the v5e's
+    16 GB."""
+    cs = (SpaceToDepthStem, PlainStage, CSPStage, ConvBNAct, SPPF)
+    if not remat:
+        return cs
+    return tuple(nn.remat(c, static_argnums=(2,)) for c in cs)
+
+
 class Backbone(nn.Module):
     """Backbone emitting strides 8/16/32 feature maps (P3, P4, P5).
 
@@ -95,29 +127,32 @@ class Backbone(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     arch: str = "tpu"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = scaled_channels(self.variant)
         depths = scaled_depths(self.variant)
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        S2D, Plain, CSP, Conv, Sppf = _stage_classes(self.remat)
+        nm = _AutoNamer()
 
         if self.arch == "tpu":
-            x = SpaceToDepthStem(ch[1], ratio=4, **kw)(x, train)  # /4
-            x = PlainStage(ch[1], depths[0], **kw)(x, train)
-            x = ConvBNAct(ch[2], 3, strides=2, **kw)(x, train)    # /8
-            p3 = PlainStage(ch[2], depths[1], **kw)(x, train)
+            x = S2D(ch[1], ratio=4, **kw, name=nm(SpaceToDepthStem))(x, train)  # /4
+            x = Plain(ch[1], depths[0], **kw, name=nm(PlainStage))(x, train)
+            x = Conv(ch[2], 3, strides=2, **kw, name=nm(ConvBNAct))(x, train)   # /8
+            p3 = Plain(ch[2], depths[1], **kw, name=nm(PlainStage))(x, train)
         else:
-            x = ConvBNAct(ch[0], 3, strides=2, **kw)(x, train)    # /2
-            x = ConvBNAct(ch[1], 3, strides=2, **kw)(x, train)    # /4
-            x = CSPStage(ch[1], depths[0], **kw)(x, train)
-            x = ConvBNAct(ch[2], 3, strides=2, **kw)(x, train)    # /8
-            p3 = CSPStage(ch[2], depths[1], **kw)(x, train)
-        x = ConvBNAct(ch[3], 3, strides=2, **kw)(p3, train)       # /16
-        p4 = CSPStage(ch[3], depths[2], **kw)(x, train)
-        x = ConvBNAct(ch[4], 3, strides=2, **kw)(p4, train)       # /32
-        x = CSPStage(ch[4], depths[3], **kw)(x, train)
-        p5 = SPPF(ch[4], **kw)(x, train)
+            x = Conv(ch[0], 3, strides=2, **kw, name=nm(ConvBNAct))(x, train)   # /2
+            x = Conv(ch[1], 3, strides=2, **kw, name=nm(ConvBNAct))(x, train)   # /4
+            x = CSP(ch[1], depths[0], **kw, name=nm(CSPStage))(x, train)
+            x = Conv(ch[2], 3, strides=2, **kw, name=nm(ConvBNAct))(x, train)   # /8
+            p3 = CSP(ch[2], depths[1], **kw, name=nm(CSPStage))(x, train)
+        x = Conv(ch[3], 3, strides=2, **kw, name=nm(ConvBNAct))(p3, train)      # /16
+        p4 = CSP(ch[3], depths[2], **kw, name=nm(CSPStage))(x, train)
+        x = Conv(ch[4], 3, strides=2, **kw, name=nm(ConvBNAct))(p4, train)      # /32
+        x = CSP(ch[4], depths[3], **kw, name=nm(CSPStage))(x, train)
+        p5 = Sppf(ch[4], **kw, name=nm(SPPF))(x, train)
         return [p3, p4, p5]
 
 
@@ -128,32 +163,35 @@ class PANNeck(nn.Module):
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
     arch: str = "tpu"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats: "list[jnp.ndarray]", train: bool = False):
         ch = scaled_channels(self.variant)
         depth = scaled_depths(self.variant)[3]
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        _, Plain, CSP, Conv, _ = _stage_classes(self.remat)
+        nm = _AutoNamer()
         p3, p4, p5 = feats
 
         # top-down
         x = _cat([_up2(p5), p4])
-        t4 = CSPStage(ch[3], depth, shortcut=False, **kw)(x, train)
+        t4 = CSP(ch[3], depth, shortcut=False, **kw, name=nm(CSPStage))(x, train)
         x = _cat([_up2(t4), p3])
         # /8 is the hi-res level where CSP's narrow convs stall the MXU;
         # PlainStage's first 3×3 absorbs the 384→128 concat reduction.
         if self.arch == "tpu":
-            n3 = PlainStage(ch[2], depth, shortcut=False, **kw)(x, train)
+            n3 = Plain(ch[2], depth, shortcut=False, **kw, name=nm(PlainStage))(x, train)
         else:
-            n3 = CSPStage(ch[2], depth, shortcut=False, **kw)(x, train)
+            n3 = CSP(ch[2], depth, shortcut=False, **kw, name=nm(CSPStage))(x, train)
 
         # bottom-up
-        x = ConvBNAct(ch[2], 3, strides=2, **kw)(n3, train)
+        x = Conv(ch[2], 3, strides=2, **kw, name=nm(ConvBNAct))(n3, train)
         x = _cat([x, t4])
-        n4 = CSPStage(ch[3], depth, shortcut=False, **kw)(x, train)
-        x = ConvBNAct(ch[3], 3, strides=2, **kw)(n4, train)
+        n4 = CSP(ch[3], depth, shortcut=False, **kw, name=nm(CSPStage))(x, train)
+        x = Conv(ch[3], 3, strides=2, **kw, name=nm(ConvBNAct))(n4, train)
         x = _cat([x, p5])
-        n5 = CSPStage(ch[4], depth, shortcut=False, **kw)(x, train)
+        n5 = CSP(ch[4], depth, shortcut=False, **kw, name=nm(CSPStage))(x, train)
         return [n3, n4, n5]
 
 
@@ -273,6 +311,7 @@ class YoloDetector(nn.Module):
     axis_name: "str | None" = None
     arch: str = "tpu"
     int8: bool = False  # PTQ serving mode: needs the 'quant' collection (quant.py)
+    remat: bool = False  # rematerialize backbone+neck stages (HBM ↔ recompute)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> "Dict[str, jnp.ndarray]":
@@ -282,8 +321,8 @@ class YoloDetector(nn.Module):
             # Normalized [0,1] input → int8 codes at the static scale 1/127;
             # from here every inter-layer activation is int8 (see quant.py).
             images = q_from_images(images)
-        feats = Backbone(**kw, arch=self.arch, name="backbone")(images, train)
-        feats = PANNeck(**kw, arch=self.arch, name="neck")(feats, train)
+        feats = Backbone(**kw, arch=self.arch, remat=self.remat, name="backbone")(images, train)
+        feats = PANNeck(**kw, arch=self.arch, remat=self.remat, name="neck")(feats, train)
         box_maps, cls_maps = DetectHead(
             num_classes=self.num_classes, **kw, name="head"
         )(feats, train)

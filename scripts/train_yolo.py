@@ -74,6 +74,14 @@ def parse_args() -> argparse.Namespace:
         "'auto' probes the corpus and falls back to PIL RGB. Ignored with "
         "--resident.",
     )
+    p.add_argument(
+        "--remat",
+        action="store_true",
+        help="Rematerialize backbone+neck stages on the backward pass "
+        "(jax.checkpoint): ~25-30%% more fwd FLOPs for a multi-GB activation "
+        "saving — lets larger variants train at protocol batch alongside the "
+        "HBM-resident store. Checkpoint-compatible with non-remat runs.",
+    )
     return p.parse_args()
 
 
@@ -172,7 +180,7 @@ def main() -> None:
             num_workers=args.workers, store=args.stream_store,
         )
 
-    model = YoloDetector(num_classes=1, variant=variant)
+    model = YoloDetector(num_classes=1, variant=variant, remat=args.remat)
     cfg = DetTrainConfig(
         variant=variant,
         img_h=args.img_h,

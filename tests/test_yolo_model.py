@@ -213,3 +213,79 @@ def test_space_to_depth_matches_transpose_formulation():
     got = space_to_depth(x, r)
     assert got.shape == ref.shape
     assert float(jnp.max(jnp.abs(got - ref))) == 0.0
+
+
+class TestRemat:
+    """remat=True must be numerically identical (fwd and grads) and produce
+    byte-identical param paths — it only changes what the backward pass
+    holds vs recomputes (models/yolo.py _stage_classes/_AutoNamer). Guards
+    the checkpoint-interchangeability contract: a run trained --remat must
+    restore into a non-remat eval graph and vice versa."""
+
+    @pytest.mark.parametrize("arch", ["tpu", "csp"])
+    def test_yolo_remat_matches_baseline(self, arch):
+        def build(remat):
+            m = YoloDetector(num_classes=1, variant="n", arch=arch, remat=remat)
+            v = jax.jit(
+                lambda r: m.init(r, jnp.zeros((1, H, W, 3)), train=True)
+            )(jax.random.PRNGKey(0))
+            return m, v
+
+        m0, v0 = build(False)
+        m1, v1 = build(True)
+        # identical param trees: same paths (explicit names reproduce flax
+        # auto-naming) and same values (same rng stream).
+        assert jax.tree_util.tree_structure(v0["params"]) == jax.tree_util.tree_structure(v1["params"])
+        np.testing.assert_allclose(
+            float(
+                sum(jnp.sum(jnp.abs(a - b)) for a, b in zip(
+                    jax.tree_util.tree_leaves(v0["params"]),
+                    jax.tree_util.tree_leaves(v1["params"]),
+                ))
+            ),
+            0.0,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 3))
+
+        def loss_fn(m):
+            def f(params, variables):
+                out, _ = m.apply(
+                    {**variables, "params": params}, x, train=True,
+                    mutable=["batch_stats"],
+                )
+                return (
+                    jnp.sum(out["cls_logits"] ** 2)
+                    + 1e-3 * jnp.sum(out["box_logits"] ** 2)
+                )
+            return f
+
+        l0, g0 = jax.value_and_grad(loss_fn(m0))(v0["params"], v0)
+        l1, g1 = jax.value_and_grad(loss_fn(m1))(v1["params"], v1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        # Recompute reassociates float reductions — close, not bit-exact.
+        import chex
+
+        chex.assert_trees_all_close(g0, g1, rtol=1e-3, atol=1e-3)
+
+    def test_moe_yolo_remat_param_paths_and_fwd(self):
+        from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
+
+        def build(remat):
+            m = MoEYoloDetector(
+                num_classes=1, variant="n", num_experts=2, remat=remat
+            )
+            v = jax.jit(
+                lambda r: m.init(r, jnp.zeros((1, H, W, 3)), train=False)
+            )(jax.random.PRNGKey(0))
+            return m, v
+
+        m0, v0 = build(False)
+        m1, v1 = build(True)
+        assert jax.tree_util.tree_structure(v0["params"]) == jax.tree_util.tree_structure(v1["params"])
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 3))
+        o0 = m0.apply(v0, x, train=False)
+        o1 = m1.apply(v1, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(o0["cls_logits"]), np.asarray(o1["cls_logits"]), rtol=1e-5, atol=1e-5
+        )
