@@ -206,7 +206,8 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
     )
     # A second bench.py is only a real client when it is an interpreter
     # invocation (not `vim bench.py` / `grep … bench.py` — ADVICE r3).
-    bench_re = re.compile(r"python[^\s]* (?:\S*/)?bench\.py(\s|$)")
+    # Interpreter flags count (`python -u bench.py` is still a client).
+    bench_re = re.compile(r"python\S*(?: -\S+)* (?:\S*/)?bench\.py(\s|$)")
 
     skip = _ancestor_pids()
     my_start = _proc_start_ticks(str(os.getpid()))
@@ -235,10 +236,11 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
         return None
 
     deadline = time.time() + max_wait_s
-    waited = False
+    waited = freed = False
     while time.time() < deadline:
         b = busy()
         if b is None:
+            freed = True
             break
         waited = True
         print(f"[bench] waiting for exclusive device ({b})", file=sys.stderr)
@@ -249,7 +251,10 @@ def _wait_for_exclusive_device(max_wait_s: float, quiet_s: float = 180.0) -> Non
             f"(contended numbers beat no numbers)",
             file=sys.stderr,
         )
-    if waited:
+    # The quiet period lets the tunnel settle AFTER the device freed; when
+    # the cap expired with the contender still running it buys nothing —
+    # skip it and spend the driver's timeout budget on the bench itself.
+    if waited and freed:
         print(f"[bench] device free; {quiet_s:.0f}s tunnel quiet period", file=sys.stderr)
         time.sleep(quiet_s)
 

@@ -241,7 +241,14 @@ def _jpeg_dims(data: bytes) -> "Optional[Tuple[int, int]]":
             i += 1
             continue
         marker = data[i + 1]
-        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+        if marker == 0xFF:
+            # 0xFF fill byte: the marker is the LAST 0xFF in the run —
+            # advance one byte so the next iteration re-tests this 0xFF
+            # against the real marker (advancing 2 would skip the marker
+            # and desync the scan into raw segment bytes).
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
         if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
@@ -264,10 +271,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _json(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
+        will_close = self.close_connection  # set by error paths pre-response
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if will_close:
+            # Advertise the close we're about to do (send_response resets
+            # close_connection from the request headers, so re-assert it).
+            self.send_header("Connection", "close")
         self.end_headers()
+        self.close_connection = self.close_connection or will_close
         self.wfile.write(body)
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
@@ -285,8 +298,21 @@ class _Handler(BaseHTTPRequestHandler):
         if parsed.path != "/predict":
             self._json(404, {"error": "unknown path"})
             return
+        # Keep-alive safety: a request whose body we can't fully consume
+        # (chunked, or no Content-Length) would leave unread bytes on the
+        # socket that get parsed as the NEXT request line, poisoning the
+        # persistent connection for every later request — close instead.
+        if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+            self.close_connection = True
+            self._json(411, {"error": "chunked bodies unsupported; send Content-Length"})
+            return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
+            length = int(self.headers.get("Content-Length") or "")
+        except ValueError:
+            self.close_connection = True
+            self._json(411, {"error": "Content-Length required"})
+            return
+        try:
             body = self.rfile.read(length)
             kw: Dict[str, Any] = {}
             # Fast path: native libjpeg decode straight to model resolution

@@ -168,16 +168,27 @@ def main() -> None:
         for cl in clients:
             cl.join(timeout=30)
 
-        lat = np.concatenate([np.asarray(cl.latencies) for cl in clients]) \
-            if any(cl.latencies for cl in clients) else np.asarray([np.nan])
+        got_any = any(cl.latencies for cl in clients)
+        lat = (
+            np.concatenate([np.asarray(cl.latencies) for cl in clients])
+            if got_any
+            else np.asarray([])
+        )
         calls = s1["device_calls"] - s0["device_calls"]
         imgs = s1["batched_images"] - s0["batched_images"]
+
+        def _pct(q):
+            # Explicit zero-throughput row (no completions in the window —
+            # e.g. a cold compile longer than --duration) instead of NaN
+            # percentiles leaking into the committed JSON/table.
+            return round(float(np.percentile(lat, q)) * 1e3, 1) if got_any else None
+
         row = {
             "concurrency": c,
             "req_s": round(len(lat) / wall, 1),
-            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
-            "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
-            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+            "p50_ms": _pct(50),
+            "p95_ms": _pct(95),
+            "p99_ms": _pct(99),
             "mean_batch_fill": round(imgs / calls, 2) if calls else None,
             "device_calls": calls,
             "errors": sum(cl.errors for cl in clients),

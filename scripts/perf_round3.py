@@ -454,10 +454,10 @@ def section_tracei8(jax, jnp):
 
 def section_epi(jax, jnp):
     """int8 conv-epilogue microbench (round-4): one representative
-    ConvBNAct-shaped int8 conv (3x3 128->128 at P3 spatial, B128) per
+    ConvBNAct-shaped int8 conv (3x3 128->128 at P3 spatial, B=32) per
     epilogue variant. The tracei8 trace put 55.5/84.8 ms inside
-    conv+epilogue fusions; this isolates how much of a fusion is the VPU
-    epilogue without paying a full-model compile per variant."""
+    conv+epilogue fusions (at B128); this isolates how much of a fusion is
+    the VPU epilogue without paying a full-model compile per variant."""
     import os as _os
 
     from jax import lax
@@ -503,9 +503,18 @@ def section_epi(jax, jnp):
     s = timed_scalar(jax.jit(conv_only), xq, wq, scale, bias, s_out, reps=4)
     out("epi", mode="conv_intdiv", ms=round(s * 1e3, 2),
         tops=round(gflop / s / 1e3, 1))
-    for mode in ("silu", "bf16", "hswish", "linear"):
-        s = timed_scalar(make(mode), xq, wq, scale, bias, s_out, reps=4)
-        out("epi", mode=mode, ms=round(s * 1e3, 2), tops=round(gflop / s / 1e3, 1))
+    # make() mutates MMOE_I8_EPILOGUE at trace time — restore afterwards so
+    # later sections in the same process trace the default epilogue.
+    _prev = _os.environ.get("MMOE_I8_EPILOGUE")
+    try:
+        for mode in ("silu", "bf16", "hswish", "linear"):
+            s = timed_scalar(make(mode), xq, wq, scale, bias, s_out, reps=4)
+            out("epi", mode=mode, ms=round(s * 1e3, 2), tops=round(gflop / s / 1e3, 1))
+    finally:
+        if _prev is None:
+            _os.environ.pop("MMOE_I8_EPILOGUE", None)
+        else:
+            _os.environ["MMOE_I8_EPILOGUE"] = _prev
 
     # Raw MXU rate probes: where does the int8 ceiling actually sit on this
     # chip/runtime? s8 vs bf16, matmul vs conv.
@@ -600,7 +609,12 @@ def section_epifull(jax, jnp):
     qvars = qz.quantize_detector(model, model_i8, variables, calib)
     img = jnp.zeros((128, H, W, 3), jnp.uint8)
 
-    modes = sys.argv[2:] or ["silu", "bf16"]
+    # Only known epilogue modes count as mode args (main() dispatches every
+    # argv token as a section, so stray tokens must not be misread as modes
+    # — an unknown string would silently fall through to the silu branch in
+    # apply_i8_epilogue while the row claims a different mode).
+    _KNOWN = ("silu", "bf16", "hswish", "linear")
+    modes = [a for a in sys.argv[2:] if a in _KNOWN] or ["silu", "bf16"]
 
     def make(mode, with_nms):
         def fn(v, im):
@@ -616,13 +630,22 @@ def section_epifull(jax, jnp):
 
         return jax.jit(fn)
 
-    for mode in modes:
-        s = timed_scalar(make(mode, True), qvars, img, reps=4)
-        out("epifull", mode=mode, nms=True, ms=round(s * 1e3, 1),
+    # make() mutates MMOE_I8_EPILOGUE at trace time — restore afterwards so
+    # later sections in the same process trace the default epilogue.
+    _prev = _os.environ.get("MMOE_I8_EPILOGUE")
+    try:
+        for mode in modes:
+            s = timed_scalar(make(mode, True), qvars, img, reps=4)
+            out("epifull", mode=mode, nms=True, ms=round(s * 1e3, 1),
+                img_s=round(128 / s, 1))
+        s = timed_scalar(make(modes[0], False), qvars, img, reps=4)
+        out("epifull", mode=modes[0], nms=False, ms=round(s * 1e3, 1),
             img_s=round(128 / s, 1))
-    s = timed_scalar(make(modes[0], False), qvars, img, reps=4)
-    out("epifull", mode=modes[0], nms=False, ms=round(s * 1e3, 1),
-        img_s=round(128 / s, 1))
+    finally:
+        if _prev is None:
+            _os.environ.pop("MMOE_I8_EPILOGUE", None)
+        else:
+            _os.environ["MMOE_I8_EPILOGUE"] = _prev
 
 
 def section_trace(jax, jnp):
@@ -665,6 +688,11 @@ def main():
     sections = sys.argv[1:] or ["yolo", "int8", "batches", "gmm", "trace"]
     out("meta", devices=str(jax.devices()), sections=sections)
     for s in sections:
+        if f"section_{s}" not in globals():
+            # Not a section — probably a mode argument consumed by
+            # section_epifull (e.g. `perf_round3.py epifull hswish`).
+            out("meta", skipped=s, reason="no such section (mode arg?)")
+            continue
         t0 = time.perf_counter()
         try:
             globals()[f"section_{s}"](jax, jnp)

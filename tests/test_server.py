@@ -193,6 +193,17 @@ def test_jpeg_dims_probe():
     assert _jpeg_dims(b"") is None
     assert _jpeg_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no SOF
 
+    # 0xFF fill bytes before a marker are legal (ITU T.81 B.1.1.2): the
+    # marker is the LAST 0xFF of the run. A scanner that advances 2 on a
+    # fill byte skips the real marker, desyncs into raw segment bytes, and
+    # can return an EXIF thumbnail's SOF dims as the image's (review r4).
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    data = buf.getvalue()
+    assert data[:2] == b"\xff\xd8"
+    padded = data[:2] + b"\xff" * 3 + data[2:]  # fill run before 1st marker
+    assert _jpeg_dims(padded) == (457, 123)
+
 
 def test_submit_orig_size_maps_back(detector):
     """A pre-resized (model-space) image with an explicit orig_size must
