@@ -111,12 +111,27 @@ def absmax_sow_kwargs():
     )
 
 
-def calibrate(model, variables, batches: Iterable, **apply_kwargs) -> Dict:
-    """Run fp forward passes collecting per-module activation absmax.
+def calibrate(
+    model, variables, batches: Iterable, mode: str = "absmax", **apply_kwargs
+) -> Dict:
+    """Run fp forward passes collecting per-module activation statistics.
 
     ``batches`` yields normalized [0,1] image arrays (or whatever the model's
     ``__call__`` takes first). Returns the accumulated ``qcal`` tree.
+
+    ``mode``:
+      absmax — running max of |activation| over all batches (default; the
+               conservative choice: nothing ever clips, but one outlier
+               activation stretches the scale and costs resolution for
+               every other value in the tensor).
+      avgmax — mean of the per-batch absmax ("averaging max", TensorRT-style):
+               outliers in a single batch are damped by the average, trading
+               rare clipping for finer resolution everywhere else — built
+               for the hard-corpus finding that per-tensor absmax PTQ costs
+               ~0.03 mAP50-95 in the small-object regime (BASELINE.md r4).
     """
+    if mode not in ("absmax", "avgmax"):
+        raise ValueError(f"unknown calibration mode {mode!r}")
 
     @jax.jit
     def step(variables, qcal, images):
@@ -126,12 +141,26 @@ def calibrate(model, variables, batches: Iterable, **apply_kwargs) -> Dict:
         _, aux = model.apply(vs, images, train=False, mutable=["qcal"], **apply_kwargs)
         return aux["qcal"]
 
-    qcal = None
-    for images in batches:
-        qcal = step(variables, qcal, jnp.asarray(images))
-    if qcal is None:
+    if mode == "absmax":
+        qcal = None
+        for images in batches:
+            qcal = step(variables, qcal, jnp.asarray(images))
+        if qcal is None:
+            raise ValueError("calibrate() needs at least one batch")
+        return jax.device_get(qcal)
+
+    # avgmax: a fresh qcal per batch (the in-model sow reduces by max, so a
+    # None carry yields that batch's absmax), averaged on host.
+    per_batch = [
+        jax.device_get(step(variables, None, jnp.asarray(images)))
+        for images in batches
+    ]
+    if not per_batch:
         raise ValueError("calibrate() needs at least one batch")
-    return jax.device_get(qcal)
+    return jax.tree_util.tree_map(
+        lambda *leaves: sum(np.asarray(l, np.float32) for l in leaves) / len(leaves),
+        *per_batch,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -265,10 +294,13 @@ def build_quant_variables(model_q, fp_variables: Dict, qcal: Dict, sample_images
     return {"quant": walk(struct, params, stats, qcal, ())}
 
 
-def quantize_detector(model_fp, model_q, fp_variables, calib_batches, **apply_kwargs):
+def quantize_detector(
+    model_fp, model_q, fp_variables, calib_batches, mode: str = "absmax",
+    **apply_kwargs,
+):
     """One-call PTQ: calibrate on ``calib_batches`` then build quant vars."""
     batches = list(calib_batches)
-    qcal = calibrate(model_fp, fp_variables, batches, **apply_kwargs)
+    qcal = calibrate(model_fp, fp_variables, batches, mode=mode, **apply_kwargs)
     sample = jnp.asarray(batches[0])[:1]
     return build_quant_variables(model_q, fp_variables, qcal, sample)
 

@@ -53,6 +53,12 @@ def parse_args() -> argparse.Namespace:
     )
     p.add_argument("--int8-calib-batches", type=int, default=8)
     p.add_argument("--int8-recalibrate", action="store_true")
+    p.add_argument(
+        "--int8-calib-mode", choices=("absmax", "avgmax"), default="absmax",
+        help="Activation-scale statistic: absmax = running max over all "
+        "calib batches (conservative); avgmax = mean of per-batch absmax "
+        "(outlier-robust, finer resolution — see quant.calibrate).",
+    )
     return p.parse_args()
 
 
@@ -201,9 +207,14 @@ def main() -> None:
                 calib.append(np.asarray(batch["image"]).astype(np.float32) / 255.0)
                 if len(calib) >= args.int8_calib_batches:
                     break
-            qvars = qz.quantize_detector(model, model_q, variables, calib)
+            qvars = qz.quantize_detector(
+                model, model_q, variables, calib, mode=args.int8_calib_mode
+            )
             qz.save_quant_npz(qnpz, qvars)
-            print(f"Calibrated on {len(calib)} train batches; saved -> {qnpz}")
+            print(
+                f"Calibrated on {len(calib)} train batches "
+                f"({args.int8_calib_mode}); saved -> {qnpz}"
+            )
         if family in ("moe", "rtdetr"):
             # partially-quantized: fp blocks (MoE FFNs / DETR encoder+decoder)
             # keep reading 'params' beside the int8 trunk's 'quant' tree

@@ -252,6 +252,45 @@ def test_calibration_accumulates_max():
     assert a2 == pytest.approx(10.0 * a1, rel=1e-5)
 
 
+def test_calibration_avgmax_damps_outlier_batch():
+    """avgmax = mean of per-batch absmax: an outlier batch moves the scale
+    by its share of the average instead of capturing it outright, and the
+    result is never above the absmax scale (finer or equal resolution)."""
+    m = ConvBNAct(8, 1, act=False)
+    rng = np.random.default_rng(2)
+    x1 = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+    x2 = 10.0 * x1
+    variables = m.init(jax.random.PRNGKey(0), x1, train=False)
+    a_abs = float(np.asarray(Q.calibrate(m, variables, [x1, x2])["out_absmax"]))
+    a_avg = float(np.asarray(
+        Q.calibrate(m, variables, [x1, x2], mode="avgmax")["out_absmax"]
+    ))
+    a_1 = float(np.asarray(Q.calibrate(m, variables, [x1])["out_absmax"]))
+    assert a_avg == pytest.approx((a_1 + 10.0 * a_1) / 2.0, rel=1e-5)
+    assert a_avg <= a_abs
+    with pytest.raises(ValueError):
+        Q.calibrate(m, variables, [x1], mode="p999")
+
+
+def test_quantize_detector_avgmax_end_to_end():
+    """The avgmax tree feeds build_quant_variables and the int8 forward
+    still tracks the fp forward (same tolerance shape as absmax parity)."""
+    h, w = 64, 96
+    m = YoloDetector(num_classes=1, variant="n", dtype=jnp.float32)
+    mq = YoloDetector(num_classes=1, variant="n", dtype=jnp.float32, int8=True)
+    rng = np.random.default_rng(3)
+    imgs = _rand_images(rng, 3, h, w)
+    variables = m.init(jax.random.PRNGKey(0), imgs[0], train=False)
+    qvars = Q.quantize_detector(m, mq, variables, imgs, mode="avgmax")
+    out_fp = m.apply(variables, imgs[0], train=False)
+    out_q = mq.apply(qvars, imgs[0], train=False)
+    p_fp = jax.nn.sigmoid(out_fp["cls_logits"][..., 0])
+    p_q = jax.nn.sigmoid(out_q["cls_logits"][..., 0])
+    assert float(jnp.max(jnp.abs(p_fp - p_q))) < 0.15
+    # score ordering preserved on the top anchor
+    assert int(jnp.argmax(p_fp)) == int(jnp.argmax(p_q))
+
+
 def test_bf16_epilogue_within_quant_noise(tiny_quantized, monkeypatch):
     """MMOE_I8_EPILOGUE=bf16 (dequant+SiLU computed in bf16, the serving
     perf variant — docs/performance.md round-4 epilogue study) must stay
