@@ -13,9 +13,14 @@ Design (TPU-first, not a CUDA translation):
   backward accumulation is a VMEM-local dynamic row slice; no HBM scatter
   ever materializes.
 - Bilinear structure: the two x-corners of a sample are **adjacent rows**
-  in the (H·W, D) slab and the two y-corners are exactly W rows apart, so
-  each sample point needs ONE int32 base index (SMEM) and two (2, D)
-  dynamic-slice reads.
+  in the (H·W, D) slab and the two y-corners are exactly W rows apart.
+- Forward (round 4): the kernel is gather-ISSUE-bound, not bandwidth-bound
+  (≈18 ns per dynamic slice × B·NH·Q·L·P of them), so XLA pre-builds a
+  row-interleaved slab `V_i[2r] = V[r], V_i[2r+1] = V[r + W_level(r)]` and
+  all FOUR corners of a sample point become ONE (4, D) dynamic slice at
+  row 2·base — half the slices of the two-(2, D)-reads layout
+  (measured on v5e in docs/performance.md round 4). The interleave is
+  one XLA stack+reshape, never touched on the backward path.
 - The weighted 4-corner combine over all L·P points of a query is one tiny
   MXU matvec: (1, 4·L·P) @ (4·L·P, D).
 - Backward: dV accumulates with sequential read-modify-write into the
@@ -84,12 +89,14 @@ def _slot_weights(level_shapes, loc):
 # kernels
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
+def _fwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
+    # v_ref is the row-interleaved slab (1, 2·total, D): rows 2b..2b+3 are
+    # the sample's four bilinear corners (y0x0, y1x0, y0x1, y1x1) — one
+    # dynamic slice per (level, point) instead of two.
     def body(qi, carry):
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), :]
-            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), :]
+            scratch[4 * j : 4 * j + 4, :] = v_ref[0, pl.ds(b, 4), :]
         wrow = w_ref[0, qi, :].reshape(1, 4 * lp)
         out_ref[0, qi, :] = lax.dot_general(
             wrow, scratch[:], (((1,), (0,)), ((), ())),
@@ -166,6 +173,40 @@ def _prep(values, level_shapes, loc, attn):
     return values_t, idx, w4
 
 
+def _interleave_slab(values_t, level_shapes):
+    """(B·NH, total, D) → (B·NH, 2·total, D) with rows [V[r], V[r+W_l(r)]]
+    interleaved, per level (the last W rows' shifted halves are zeros —
+    provably never read: clipped bases satisfy base+1+W < level_end)."""
+    bnh, total, d = values_t.shape
+    off = 0
+    shifted = []
+    for h_l, w_l in level_shapes:
+        n = h_l * w_l
+        seg = lax.slice_in_dim(values_t, off, off + n, axis=1)
+        shifted.append(
+            jnp.concatenate(
+                [
+                    lax.slice_in_dim(seg, w_l, n, axis=1),
+                    jnp.zeros((bnh, w_l, d), values_t.dtype),
+                ],
+                axis=1,
+            )
+        )
+        off += n
+    sh = jnp.concatenate(shifted, axis=1)
+    return jnp.stack([values_t, sh], axis=2).reshape(bnh, 2 * total, d)
+
+
+def _w4_corner_reorder(w4, lp):
+    """Per-point corner weights (y0x0, y0x1, y1x0, y1x1) → the interleaved
+    slab's slice order (y0x0, y1x0, y0x1, y1x1): swap the middle pair."""
+    bnh, q, _ = w4.shape
+    return (
+        w4.reshape(bnh, q, lp, 2, 2).transpose(0, 1, 2, 4, 3)
+        .reshape(bnh, q, 4 * lp)
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deformable_attention_pallas(
     values: jnp.ndarray,              # (B, total_hw, NH, D)
@@ -194,24 +235,26 @@ def _fwd_rule(values, level_shapes, loc, attn, interpret):
             )
     lp = l * p
     values_t, idx, w4 = _prep(values, level_shapes, loc, attn)
+    values_i = _interleave_slab(values_t, level_shapes)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, _level_ws(level_shapes, p), lp, d, q),
+        functools.partial(_fwd_kernel, lp, d, q),
         grid=(b * nh,),
         in_specs=[
             pl.BlockSpec((1, q, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2 * total, d), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, q, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * nh, q, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4 * lp, d), jnp.float32)],
-        # the (total, D=32) slab lane-pads to 128 → 4× VMEM; v5e has 128 MiB
-        # physical VMEM, the default 16 MiB scoped limit is just conservative
+        # the (2·total, D=32) slab lane-pads to 128 → 4× VMEM; v5e has
+        # 128 MiB physical VMEM, the default 16 MiB scoped limit is just
+        # conservative
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx, w4, values_t)
+    )(2 * idx, _w4_corner_reorder(w4, lp), values_i)
 
     res = (values_t, idx, w4, loc, attn, jnp.zeros((), values.dtype))
     out = out.reshape(b, nh, q, d).transpose(0, 2, 1, 3).reshape(b, q, nh * d)
