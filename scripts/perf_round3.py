@@ -371,6 +371,51 @@ def section_serving(jax, jnp):
                     error=str(e)[:160])
 
 
+def section_deform(jax, jnp):
+    """Deformable-attention kernel microbench at protocol level shapes
+    ((88,156),(44,78),(22,39), NH=8, D=32, P=4): fwd and fwd+bwd ms/layer.
+    Banked round-2 baselines (two-slice slab layout): 7.2 ms fwd /
+    12.5 ms fwd+bwd at B4/Q500; round-4 interleaved-slab fwd measured here."""
+    from multimodal_moe_tpu.ops.deformable_pallas import (
+        ms_deformable_attention_pallas,
+    )
+
+    shapes = ((88, 156), (44, 78), (22, 39))
+    total = sum(h * w for h, w in shapes)
+    nh, d, l, p = 8, 32, 3, 4
+    rng = np.random.default_rng(0)
+
+    for b, q, tag in ((4, 500, "train_shape"), (16, 300, "serve_b16"),
+                      (64, 300, "serve_b64")):
+        values = jnp.asarray(rng.normal(0, 1, (b, total, nh, d)).astype(np.float32))
+        loc = jnp.asarray(rng.uniform(0, 1, (b, q, nh, l, p, 2)).astype(np.float32))
+        attn = jax.nn.softmax(
+            jnp.asarray(rng.normal(0, 1, (b, q, nh, l * p)).astype(np.float32)), -1
+        ).reshape(b, q, nh, l, p)
+
+        fwd = jax.jit(
+            lambda v, lo, a: ms_deformable_attention_pallas(v, shapes, lo, a).sum()
+        )
+        s = timed_scalar(fwd, values, loc, attn, reps=8)
+        out("deform", config=tag, batch=b, queries=q, what="fwd",
+            ms_layer=round(s * 1e3, 2))
+
+        if tag == "train_shape":
+            grad = jax.jit(
+                jax.grad(
+                    lambda v, lo, a: (
+                        ms_deformable_attention_pallas(v, shapes, lo, a) ** 2
+                    ).sum(),
+                    argnums=(0, 1, 2),
+                )
+            )
+            gfn = lambda v, lo, a: grad(v, lo, a)[0].sum()
+            s = timed_scalar(gfn, values, loc, attn, reps=4)
+            out("deform", config=tag, batch=b, queries=q, what="fwd_bwd",
+                ms_layer=round(s * 1e3, 2))
+        del values, loc, attn
+
+
 def section_rtdetri8(jax, jnp):
     """RT-DETR serving dtype/quant ladder: fp32 (the banked baseline
     config — train/eval construct the model at the default dtype), bf16
