@@ -43,6 +43,7 @@ class MoEYoloDetector(nn.Module):
     # the residual/combine stay fp. Serving variables =
     # {'quant': ..., 'params': ...} via quant.merge_serving_variables.
     int8: bool = False
+    int8_fp_box: bool = False  # int8 trunk, fp DFL box branch (DetectHead.fp_box)
     remat: bool = False  # rematerialize backbone+neck stages (HBM ↔ recompute)
 
     context_aware: bool = True  # trainer passes context_ids when True
@@ -108,7 +109,8 @@ class MoEYoloDetector(nn.Module):
             expert_loads.append(aux["expert_load"])
 
         box_maps, cls_maps = DetectHead(
-            num_classes=self.num_classes, **kw, name="head"
+            num_classes=self.num_classes, fp_box=self.int8_fp_box, **kw,
+            name="head",
         )(moe_feats, train)
 
         box_logits = jnp.concatenate(

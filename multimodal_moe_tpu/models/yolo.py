@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from jax import lax
 
-from ..quant import QT, q_from_images, qcat
+from ..quant import QT, dequantize, q_from_images, qcat
 from .layers import (
     CSPStage,
     ConvBNAct,
@@ -230,6 +230,15 @@ class DetectHead(nn.Module):
     variant: str = "s"
     dtype: Any = jnp.float32
     axis_name: "str | None" = None
+    # int8 serving refinement: run the DFL box-regression branch in fp while
+    # the trunk/neck/cls stay int8. Motivated by the hard-corpus PTQ finding
+    # (BASELINE.md round 4): avgmax calibration recovers the detection-level
+    # mAP50 loss but none of the strict-IoU mAP50-95 loss — the residual is
+    # activation rounding in the box-logit path, which this removes at the
+    # cost of 6 fp 3×3 convs. The fp branch reads 'params'/'batch_stats'
+    # (present via quant.merge_serving_variables), so the quant npz built
+    # for the full-int8 model keeps working as a superset.
+    fp_box: bool = False
 
     @nn.compact
     def __call__(self, feats: "list[jnp.ndarray]", train: bool = False):
@@ -240,7 +249,12 @@ class DetectHead(nn.Module):
 
         box_out, cls_out = [], []
         for i, f in enumerate(feats):
-            b = ConvBNAct(box_ch, 3, **kw, name=f"box{i}_conv1")(f, train)
+            fb = (
+                dequantize(f).astype(self.dtype)
+                if self.fp_box and isinstance(f, QT)
+                else f
+            )
+            b = ConvBNAct(box_ch, 3, **kw, name=f"box{i}_conv1")(fb, train)
             b = ConvBNAct(box_ch, 3, **kw, name=f"box{i}_conv2")(b, train)
             if isinstance(b, QT):
                 b = QPredConv(4 * REG_MAX, name=f"box{i}_pred")(b)
@@ -311,6 +325,7 @@ class YoloDetector(nn.Module):
     axis_name: "str | None" = None
     arch: str = "tpu"
     int8: bool = False  # PTQ serving mode: needs the 'quant' collection (quant.py)
+    int8_fp_box: bool = False  # int8 trunk, fp DFL box branch (DetectHead.fp_box)
     remat: bool = False  # rematerialize backbone+neck stages (HBM ↔ recompute)
 
     @nn.compact
@@ -324,7 +339,8 @@ class YoloDetector(nn.Module):
         feats = Backbone(**kw, arch=self.arch, remat=self.remat, name="backbone")(images, train)
         feats = PANNeck(**kw, arch=self.arch, remat=self.remat, name="neck")(feats, train)
         box_maps, cls_maps = DetectHead(
-            num_classes=self.num_classes, **kw, name="head"
+            num_classes=self.num_classes, fp_box=self.int8_fp_box, **kw,
+            name="head",
         )(feats, train)
 
         box_logits = jnp.concatenate(

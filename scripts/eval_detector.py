@@ -54,6 +54,13 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--int8-calib-batches", type=int, default=8)
     p.add_argument("--int8-recalibrate", action="store_true")
     p.add_argument(
+        "--int8-fp-box", action="store_true",
+        help="int8 serving with the DFL box-regression branch kept fp "
+        "(yolo/moe): targets the strict-IoU PTQ loss the hard corpus "
+        "exposed. The quant npz is still built/cached for the full-int8 "
+        "model (superset), so both modes share one calibration.",
+    )
+    p.add_argument(
         "--int8-calib-mode", choices=("absmax", "avgmax"), default="absmax",
         help="Activation-scale statistic: absmax = running max over all "
         "calib batches (conservative); avgmax = mean of per-batch absmax "
@@ -165,26 +172,36 @@ def main() -> None:
         if family == "moe":
             from multimodal_moe_tpu.models.moe_yolo import MoEYoloDetector
 
-            model_q = MoEYoloDetector(
-                num_classes=model_cfg.get("num_classes", 1),
-                variant=variant,
-                num_experts=model_cfg.get("num_experts", 4),
-                int8=True,
-            )
+            def _build_q(**extra):
+                return MoEYoloDetector(
+                    num_classes=model_cfg.get("num_classes", 1),
+                    variant=variant,
+                    num_experts=model_cfg.get("num_experts", 4),
+                    int8=True, **extra,
+                )
         elif family == "rtdetr":
             from multimodal_moe_tpu.models.rtdetr import RTDETRDetector
 
-            model_q = RTDETRDetector(
-                num_classes=model_cfg.get("num_classes", 1),
-                hidden_dim=model_cfg.get("hidden_dim", 256),
-                num_queries=model_cfg.get("num_queries", 300),
-                num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
-                int8=True,
-            )
+            def _build_q(**extra):
+                return RTDETRDetector(
+                    num_classes=model_cfg.get("num_classes", 1),
+                    hidden_dim=model_cfg.get("hidden_dim", 256),
+                    num_queries=model_cfg.get("num_queries", 300),
+                    num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
+                    int8=True,
+                )
         else:
-            model_q = YoloDetector(
-                num_classes=model_cfg.get("num_classes", 1), variant=variant, int8=True
-            )
+
+            def _build_q(**extra):
+                return YoloDetector(
+                    num_classes=model_cfg.get("num_classes", 1), variant=variant,
+                    int8=True, **extra,
+                )
+
+        # calibration/npz always target the FULL int8 model; --int8-fp-box
+        # only changes the serving model (its quant tree is a subset)
+        model_q = _build_q()
+        fp_box = args.int8_fp_box and family in ("moe", "yolo")
         qnpz = ckpt_path.parent / f"int8_quant_{ckpt_path.name}.npz"
         if qnpz.exists() and not args.int8_recalibrate:
             qvars = qz.load_quant_npz(qnpz)
@@ -215,11 +232,13 @@ def main() -> None:
                 f"Calibrated on {len(calib)} train batches "
                 f"({args.int8_calib_mode}); saved -> {qnpz}"
             )
-        if family in ("moe", "rtdetr"):
-            # partially-quantized: fp blocks (MoE FFNs / DETR encoder+decoder)
-            # keep reading 'params' beside the int8 trunk's 'quant' tree
+        if family in ("moe", "rtdetr") or fp_box:
+            # partially-quantized: fp blocks (MoE FFNs / DETR encoder+decoder
+            # / the fp box branch) keep reading 'params' beside the int8
+            # trunk's 'quant' tree
             qvars = qz.merge_serving_variables(qvars, variables)
-        model, variables = model_q, qvars
+        model = _build_q(int8_fp_box=True) if fp_box else model_q
+        variables = qvars
 
     infer = make_inference_fn(model, variables)
 
@@ -238,7 +257,9 @@ def main() -> None:
     # the int8 graph's op mix is a serving detail, not a model property).
     metrics["flops_g"] = model_flops_g(fp_model, fp_variables, args.img_h, args.img_w)
     if args.int8:
-        metrics["quantization"] = "int8_w8a8_ptq"
+        metrics["quantization"] = (
+            "int8_w8a8_ptq_fp_box" if args.int8_fp_box else "int8_w8a8_ptq"
+        )
 
     out_dir = Path(paths.EVAL_DIR) / args.backend / args.run_name
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -258,7 +279,10 @@ def main() -> None:
         "dataset_export_name": Path(args.parquet).stem,
         "nms_iou": args.nms_iou,
         "max_det": args.max_det,
-        "quantization": "int8_w8a8_ptq" if args.int8 else "none",
+        "quantization": (
+            ("int8_w8a8_ptq_fp_box" if args.int8_fp_box else "int8_w8a8_ptq")
+            if args.int8 else "none"
+        ),
     }
     metadata.update(collect_runtime_info())
     meta_json, meta_csv = save_run_metadata_artifacts(

@@ -308,3 +308,31 @@ def test_bf16_epilogue_within_quant_noise(tiny_quantized, monkeypatch):
         denom = max(np.abs(a).max(), 1e-6)
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995, key
         assert np.abs(a - b).max() / denom < 0.08, key
+
+
+def test_int8_fp_box_head(tiny_quantized):
+    """--int8-fp-box serving twin: the DFL box branch runs fp off the
+    dequantized neck features while cls stays int8. Invariants: (1) cls
+    logits are bit-identical to the full-int8 model (same int8 path, same
+    quant leaves); (2) box outputs move TOWARD the fp model (the branch's
+    own rounding is gone); (3) the full-int8 quant npz serves the fp-box
+    model unchanged (superset — fp branch reads params/batch_stats)."""
+    m, mq, variables, qvars, imgs = tiny_quantized
+    m_fpbox = YoloDetector(
+        num_classes=1, variant="n", dtype=jnp.float32, int8=True,
+        int8_fp_box=True,
+    )
+    serving = Q.merge_serving_variables(qvars, variables)
+
+    out_fp = m.apply(variables, imgs[0], train=False)
+    out_q = mq.apply(qvars, imgs[0], train=False)
+    out_h = m_fpbox.apply(serving, imgs[0], train=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_h["cls_logits"]), np.asarray(out_q["cls_logits"])
+    )
+    box_fp = np.asarray(out_fp["boxes"]).ravel()
+    err_full = np.abs(np.asarray(out_q["boxes"]).ravel() - box_fp).mean()
+    err_fpbox = np.abs(np.asarray(out_h["boxes"]).ravel() - box_fp).mean()
+    assert np.isfinite(err_fpbox)
+    assert err_fpbox < err_full
