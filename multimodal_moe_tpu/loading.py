@@ -36,18 +36,24 @@ def resolve_checkpoint(weights: Path, which: str = "best") -> "Tuple[Path, dict]
     return weights, cfg
 
 
-def build_detector(model_cfg: dict, *, int8: bool = False):
-    """``model_config.json`` → (family, constructed Flax model)."""
+def build_detector(model_cfg: dict, *, int8: bool = False, fp_box: bool = False):
+    """``model_config.json`` → (family, constructed Flax model).
+
+    ``fp_box`` (yolo/moe int8 only) keeps the DFL box-regression branch fp —
+    the strict-IoU PTQ accuracy mode (see models.yolo.DetectHead.fp_box)."""
     family = model_cfg.get("family", "yolo")
     num_classes = model_cfg.get("num_classes", 1)
     variant = model_cfg.get("variant", "s")
+    extra = {"int8": True} if int8 else {}
     if family == "moe":
         from .models.moe_yolo import MoEYoloDetector
 
+        if int8 and fp_box:
+            extra["int8_fp_box"] = True
         return family, MoEYoloDetector(
             num_classes=num_classes, variant=variant,
             num_experts=model_cfg.get("num_experts", 4),
-            **({"int8": True} if int8 else {}),
+            **extra,
         )
     if family == "rtdetr":
         from .models.rtdetr import RTDETRDetector
@@ -57,13 +63,14 @@ def build_detector(model_cfg: dict, *, int8: bool = False):
             hidden_dim=model_cfg.get("hidden_dim", 256),
             num_queries=model_cfg.get("num_queries", 300),
             num_decoder_layers=model_cfg.get("num_decoder_layers", 6),
-            **({"int8": True} if int8 else {}),
+            **extra,
         )
     from .models.yolo import YoloDetector
 
+    if int8 and fp_box:
+        extra["int8_fp_box"] = True
     return "yolo", YoloDetector(
-        num_classes=num_classes, variant=variant,
-        **({"int8": True} if int8 else {}),
+        num_classes=num_classes, variant=variant, **extra,
     )
 
 
@@ -110,24 +117,40 @@ def load_detector(
     return LoadedDetector(family, model, model_cfg, variables, ckpt_path)
 
 
-def quantize_loaded(loaded: LoadedDetector, calib_batches: Iterable) -> LoadedDetector:
-    """int8 PTQ serving twin of a loaded detector: reuse a cached
-    ``int8_quant.npz`` beside the checkpoint when present, else calibrate
-    on ``calib_batches`` (normalized float image batches — the
-    quant.calibrate contract). MoE/RT-DETR quantize a sub-region of the
-    net, so their quantized variables are merged over the fp ones."""
+def quantize_loaded(
+    loaded: LoadedDetector,
+    calib_batches: Iterable,
+    *,
+    fp_box: bool = False,
+    mode: str = "absmax",
+) -> LoadedDetector:
+    """int8 PTQ serving twin of a loaded detector: reuse a cached quant npz
+    beside the checkpoint when present (``int8_quant.npz`` or the eval CLI's
+    ``int8_quant_<ckpt>.npz``), else calibrate on ``calib_batches``
+    (normalized float image batches — the quant.calibrate contract).
+    MoE/RT-DETR and the ``fp_box`` accuracy mode quantize a sub-region of
+    the net, so their quantized variables are merged over the fp ones. The
+    npz is always built for the full-int8 model (superset), shared by both
+    serving modes."""
     from . import quant as qz
 
     _, model_q = build_detector(loaded.model_cfg, int8=True)
-    qnpz = loaded.ckpt_path.parent / "int8_quant.npz"
-    if qnpz.exists():
-        qvars = qz.load_quant_npz(qnpz)
-    else:
+    qvars = None
+    for name in ("int8_quant.npz", f"int8_quant_{loaded.ckpt_path.name}.npz"):
+        qnpz = loaded.ckpt_path.parent / name
+        if qnpz.exists():
+            qvars = qz.load_quant_npz(qnpz)
+            break
+    if qvars is None:
         qvars = qz.quantize_detector(
-            loaded.model, model_q, loaded.variables, list(calib_batches)
+            loaded.model, model_q, loaded.variables, list(calib_batches),
+            mode=mode,
         )
-    if loaded.family in ("moe", "rtdetr"):
+    if loaded.family in ("moe", "rtdetr") or fp_box:
         qvars = qz.merge_serving_variables(qvars, loaded.variables)
+    model_serve = model_q
+    if fp_box and loaded.family in ("moe", "yolo"):
+        _, model_serve = build_detector(loaded.model_cfg, int8=True, fp_box=True)
     return LoadedDetector(
-        loaded.family, model_q, loaded.model_cfg, qvars, loaded.ckpt_path
+        loaded.family, model_serve, loaded.model_cfg, qvars, loaded.ckpt_path
     )

@@ -45,6 +45,7 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--pool", type=int, default=512)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int8-fp-box", action="store_true")
     p.add_argument("--concurrency", type=str, default="1,4,8,16,32")
     p.add_argument("--duration", type=float, default=10.0,
                    help="Timed window per concurrency level (s).")
@@ -131,7 +132,7 @@ def main() -> None:
 
         rng = np.random.default_rng(0)
         calib = [jnp.asarray(rng.random((2, args.img_h, args.img_w, 3), np.float32))]
-        loaded = quantize_loaded(loaded, calib)
+        loaded = quantize_loaded(loaded, calib, fp_box=args.int8_fp_box)
 
     det = BatchingDetector(
         loaded.model, loaded.variables,

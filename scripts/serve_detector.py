@@ -51,6 +51,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--calib-images", type=str, default=None,
                    help="Directory of images for int8 calibration when no "
                    "cached npz exists.")
+    p.add_argument("--int8-fp-box", action="store_true",
+                   help="int8 with the DFL box branch kept fp (yolo/moe) - "
+                   "the strict-IoU PTQ accuracy mode.")
     return p.parse_args()
 
 
@@ -66,7 +69,12 @@ def main() -> None:
     )
     if args.int8:
         calib = []
-        if not (loaded.ckpt_path.parent / "int8_quant.npz").exists():
+        have_npz = any(
+            (loaded.ckpt_path.parent / n).exists()
+            for n in ("int8_quant.npz",
+                      f"int8_quant_{loaded.ckpt_path.name}.npz")
+        )
+        if not have_npz:
             if not args.calib_images:
                 raise SystemExit(
                     "--int8 without a cached int8_quant.npz needs "
@@ -89,7 +97,7 @@ def main() -> None:
             if not arrs:
                 raise SystemExit(f"no calibration images under {args.calib_images}")
             calib = [jnp.asarray(np.stack(arrs))]
-        loaded = quantize_loaded(loaded, calib)
+        loaded = quantize_loaded(loaded, calib, fp_box=args.int8_fp_box)
 
     detector = BatchingDetector(
         loaded.model, loaded.variables,
