@@ -92,3 +92,24 @@ def test_bf16_values_roundtrip():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=0.1, rtol=0.05
     )
+
+
+def test_interleave_slab_row_mapping():
+    """V_i[2r] == V[r]; V_i[2r+1] == V[r + W_level] within each level, zeros
+    in the final W rows' shifted halves (provably never read — the kernel's
+    (4, D) slice at 2·base stays inside the filled region)."""
+    from multimodal_moe_tpu.ops.deformable_pallas import _interleave_slab
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(0, 1, (3, TOTAL, 5)).astype(np.float32))
+    vi = np.asarray(_interleave_slab(v, SHAPES))
+    assert vi.shape == (3, 2 * TOTAL, 5)
+    v = np.asarray(v)
+    np.testing.assert_array_equal(vi[:, 0::2], v)
+    off = 0
+    for h, w in SHAPES:
+        n = h * w
+        odd = vi[:, 1::2][:, off : off + n]
+        np.testing.assert_array_equal(odd[:, : n - w], v[:, off + w : off + n])
+        np.testing.assert_array_equal(odd[:, n - w :], 0.0)
+        off += n
