@@ -14,20 +14,24 @@ Design (TPU-first, not a CUDA translation):
   ever materializes.
 - Bilinear structure: the two x-corners of a sample are **adjacent rows**
   in the (H·W, D) slab and the two y-corners are exactly W rows apart.
-- Forward (round 4): the kernel is gather-ISSUE-bound, not bandwidth-bound
-  (≈18 ns per dynamic slice × B·NH·Q·L·P of them), so XLA pre-builds a
+- Round 4: the kernel is gather-ISSUE-bound, not bandwidth-bound (≈18 ns
+  per dynamic slice × B·NH·Q·L·P of them), so XLA pre-builds a
   row-interleaved slab `V_i[2r] = V[r], V_i[2r+1] = V[r + W_level(r)]` and
   all FOUR corners of a sample point become ONE (4, D) dynamic slice at
   row 2·base — half the slices of the two-(2, D)-reads layout
   (measured on v5e in docs/performance.md round 4). The interleave is
-  one XLA stack+reshape, never touched on the backward path.
+  one XLA stack+reshape per pass; the backward rebuilds it rather than
+  carrying a 2× residual.
 - The weighted 4-corner combine over all L·P points of a query is one tiny
   MXU matvec: (1, 4·L·P) @ (4·L·P, D).
-- Backward: dV accumulates with sequential read-modify-write into the
-  VMEM slab (programs own disjoint (b, h) slabs; the query loop is
-  sequential — no write race). The per-slot sums s_c = <g, V_c> fall out
-  of the same pass as one matmul, and d(locations)/d(attention) are then
-  recovered *elementwise* outside the kernel — no second gather pass.
+- Backward: dV accumulates with sequential read-modify-write into a VMEM
+  slab in the SAME interleaved space — one (4, D) gather + one (4, D)
+  accumulate per sample point (programs own disjoint (b, h) slabs; the
+  query loop is sequential — no write race); XLA folds the interleaved
+  gradient back with a shift+add (`_deinterleave_grad`). The per-slot sums
+  s_c = <g, V_c> fall out of the same pass as one matmul, and
+  d(locations)/d(attention) are then recovered *elementwise* outside the
+  kernel — no second gather pass.
 
 Out-of-bounds semantics match grid_sample(align_corners=False, zeros):
 read rows are clamped into the slab and per-READ-SLOT weights are assigned
@@ -108,15 +112,20 @@ def _fwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
     lax.fori_loop(0, q, body, 0)
 
 
-def _bwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, g_ref,
+def _bwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, g_ref,
                 dv_ref, s_ref, scratch):
+    # Interleaved layout on BOTH sides (round 4): v_ref is the (1, 2·total,
+    # D) interleaved slab, idx is pre-doubled, and dv_ref accumulates in the
+    # SAME interleaved space — one (4, D) gather + one (4, D) read-modify-
+    # write per sample point instead of 2+2 (2, D) ops. XLA de-interleaves
+    # dv afterwards (`_deinterleave_grad`). s comes out in interleaved
+    # corner order (y0x0, y1x0, y0x1, y1x1); the caller swaps it back.
     dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
     def body(qi, carry):
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), :]
-            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), :]
+            scratch[4 * j : 4 * j + 4, :] = v_ref[0, pl.ds(b, 4), :]
         grow = g_ref[0, qi, :].reshape(1, d)
         s_ref[0, qi, :] = lax.dot_general(
             grow, scratch[:], (((1,), (1,)), ((), ())),
@@ -131,12 +140,8 @@ def _bwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, g_ref,
         )
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            dv_ref[0, pl.ds(b, 2), :] = (
-                dv_ref[0, pl.ds(b, 2), :] + contrib[4 * j : 4 * j + 2, :]
-            )
-            bw = b + level_ws[j]
-            dv_ref[0, pl.ds(bw, 2), :] = (
-                dv_ref[0, pl.ds(bw, 2), :] + contrib[4 * j + 2 : 4 * j + 4, :]
+            dv_ref[0, pl.ds(b, 4), :] = (
+                dv_ref[0, pl.ds(b, 4), :] + contrib[4 * j : 4 * j + 4, :]
             )
         return carry
 
@@ -145,11 +150,6 @@ def _bwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, g_ref,
 
 def _interpret_default() -> bool:
     return jax.devices()[0].platform != "tpu"
-
-
-def _level_ws(level_shapes, num_points) -> "Tuple[int, ...]":
-    """Static row stride between the two y-slots, per unrolled j = l·P + p."""
-    return tuple(int(w) for (_, w) in level_shapes for _ in range(num_points))
 
 
 # --------------------------------------------------------------------------
@@ -199,12 +199,40 @@ def _interleave_slab(values_t, level_shapes):
 
 def _w4_corner_reorder(w4, lp):
     """Per-point corner weights (y0x0, y0x1, y1x0, y1x1) → the interleaved
-    slab's slice order (y0x0, y1x0, y0x1, y1x1): swap the middle pair."""
+    slab's slice order (y0x0, y1x0, y0x1, y1x1): swap the middle pair.
+    Self-inverse — also used to map the bwd kernel's per-slot sums back."""
     bnh, q, _ = w4.shape
     return (
         w4.reshape(bnh, q, lp, 2, 2).transpose(0, 1, 2, 4, 3)
         .reshape(bnh, q, 4 * lp)
     )
+
+
+def _deinterleave_grad(dv_i, level_shapes):
+    """Fold the interleaved-space dV (B·NH, 2·total, D) back to (B·NH,
+    total, D): row 2r accumulated dV[r], row 2r+1 accumulated dV[r + W_l].
+    Per level, the shifted half is moved forward W rows and added; its last
+    W rows correspond to dV rows beyond the level (never written — bases
+    satisfy base+1+W < level_end) and are dropped."""
+    bnh, total2, d = dv_i.shape
+    dv_pairs = dv_i.reshape(bnh, total2 // 2, 2, d)
+    main = dv_pairs[:, :, 0, :]
+    sh = dv_pairs[:, :, 1, :]
+    segs = []
+    off = 0
+    for h_l, w_l in level_shapes:
+        n = h_l * w_l
+        seg_sh = lax.slice_in_dim(sh, off, off + n, axis=1)
+        shifted = jnp.concatenate(
+            [
+                jnp.zeros((bnh, w_l, d), dv_i.dtype),
+                lax.slice_in_dim(seg_sh, 0, n - w_l, axis=1),
+            ],
+            axis=1,
+        )
+        segs.append(lax.slice_in_dim(main, off, off + n, axis=1) + shifted)
+        off += n
+    return jnp.concatenate(segs, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
@@ -274,29 +302,37 @@ def _bwd_rule(level_shapes, interpret, res, g):
         .reshape(bnh, q, d).astype(jnp.float32)
     )
 
-    dv_t, s = pl.pallas_call(
-        functools.partial(_bwd_kernel, _level_ws(level_shapes, p), lp, d, q),
+    # Rebuild the interleaved slab here rather than saving it in residuals:
+    # one XLA stack+reshape per layer is cheaper than doubling the residual
+    # footprint held across the whole backward pass.
+    values_i = _interleave_slab(values_t, level_shapes)
+
+    dv_i, s = pl.pallas_call(
+        functools.partial(_bwd_kernel, lp, d, q),
         grid=(bnh,),
         in_specs=[
             pl.BlockSpec((1, q, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2 * total, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, q, d), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2 * total, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bnh, total, d), jnp.float32),
+            jax.ShapeDtypeStruct((bnh, 2 * total, d), jnp.float32),
             jax.ShapeDtypeStruct((bnh, q, 4 * lp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((4 * lp, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx, w4, values_t, g_t)
+    )(2 * idx, _w4_corner_reorder(w4, lp), values_i, g_t)
 
+    dv_t = _deinterleave_grad(dv_i, level_shapes)
+    # s is in the interleaved corner order; the reorder is self-inverse.
+    s = _w4_corner_reorder(s, lp)
     dv = (
         dv_t.reshape(b, nh, total, d).transpose(0, 2, 1, 3).astype(vtoken.dtype)
     )
