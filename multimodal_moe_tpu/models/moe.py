@@ -319,10 +319,21 @@ def moe_apply_sweep(
     e = w1.shape[0]
     dtype = tokens.dtype
 
+    # Under an active (data, expert) mesh, pin the expert-parallel layout
+    # explicitly: E over the expert axis, T over the data axis. Tokens
+    # arrive sharded over BOTH axes (full-DP batches), which conflicts with
+    # the expert-sharded weights — without the constraint GSPMD resolves the
+    # (E, T, h) mid tensor by replicate-then-reshard ("involuntary full
+    # rematerialization") instead of the cheap token all-gather over the
+    # expert axis. No-op single-chip.
+    from ..parallel.mesh import DATA_AXIS, EXPERT_AXIS, constrain
+
     mid = activation(
         jnp.einsum("td,edh->eth", tokens, w1.astype(dtype)) + b1.astype(dtype)
     )
+    mid = constrain(mid, EXPERT_AXIS, DATA_AXIS, None)
     out_e = jnp.einsum("eth,ehd->etd", mid, w2.astype(dtype)) + b2.astype(dtype)
+    out_e = constrain(out_e, EXPERT_AXIS, DATA_AXIS, None)
 
     comb = (
         jnp.zeros((t, e), jnp.float32)
@@ -362,9 +373,12 @@ def moe_apply_sweep_int8(
     """
     t, d = tokens_q.shape
     e = w1_q.shape[0]
+    from ..parallel.mesh import DATA_AXIS, EXPERT_AXIS, constrain
+
     x32 = jnp.einsum(
         "td,edh->eth", tokens_q, w1_q, preferred_element_type=jnp.int32
     )
+    x32 = constrain(x32, EXPERT_AXIS, DATA_AXIS, None)
     # Mid epilogue goes through the shared switchable path (bf16 default —
     # the round-4 epilogue study in docs/performance.md).
     from .layers import apply_i8_epilogue
@@ -376,6 +390,7 @@ def moe_apply_sweep_int8(
         "eth,ehd->etd", mid_q, w2_q, preferred_element_type=jnp.int32
     )
     out_e = y32.astype(jnp.float32) * (s_mid[:, None, None] * s_w2[:, None, :]) + b2
+    out_e = constrain(out_e, EXPERT_AXIS, DATA_AXIS, None)
 
     comb = (
         jnp.zeros((t, e), jnp.float32)

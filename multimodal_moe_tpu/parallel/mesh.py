@@ -66,6 +66,28 @@ def expert_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(EXPERT_AXIS))
 
 
+def constrain(x, *spec):
+    """``with_sharding_constraint(x, P(*spec))`` iff a concrete mesh carrying
+    every named axis in ``spec`` is active (``jax.sharding.set_mesh`` — the
+    trainer enters it around the jitted step); no-op otherwise.
+
+    Model code uses this to pin intermediate shardings GSPMD can't infer —
+    e.g. the MoE sweep's (E, T, h) mid tensor, where tokens arrive sharded
+    over BOTH mesh axes but expert weights claim the expert axis: without a
+    constraint the partitioner falls back to "involuntary full
+    rematerialization" (replicate-then-reshard) on the hot path.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty:
+        return x
+    names = set(am.axis_names)
+    for s in spec:
+        for axis in (s if isinstance(s, tuple) else (s,)):
+            if axis is not None and axis not in names:
+                return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def shard_params(params, mesh: Mesh, expert_path_token: str = "experts"):
     """Place a param pytree: replicate everything except expert-stacked
     leaves (path containing ``expert_path_token``), which shard over the

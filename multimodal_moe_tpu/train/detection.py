@@ -192,7 +192,11 @@ class DetectionTrainer:
     def train_step(self, state, batch):
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        return self._train_step(state, batch)
+        # Activate the mesh so bare-PartitionSpec sharding constraints inside
+        # model code (parallel.mesh.constrain — e.g. the MoE sweep's
+        # expert-parallel mid layout) resolve against it at trace time.
+        with jax.sharding.set_mesh(self.mesh):
+            return self._train_step(state, batch)
 
     # -- loop ----------------------------------------------------------------
     def fit(
