@@ -13,30 +13,31 @@ Design (TPU-first, not a CUDA translation):
   backward accumulation is a VMEM-local dynamic row slice; no HBM scatter
   ever materializes.
 - Bilinear structure: the two x-corners of a sample are **adjacent rows**
-  in the (H·W, D) slab and the two y-corners are exactly W rows apart.
-- Round 4: the kernel is gather-ISSUE-bound, not bandwidth-bound (≈18 ns
-  per dynamic slice × B·NH·Q·L·P of them), so XLA pre-builds a
-  row-interleaved slab `V_i[2r] = V[r], V_i[2r+1] = V[r + W_level(r)]` and
-  all FOUR corners of a sample point become ONE (4, D) dynamic slice at
-  row 2·base — half the slices of the two-(2, D)-reads layout
-  (measured on v5e in docs/performance.md round 4). The interleave is
-  one XLA stack+reshape per pass; the backward rebuilds it rather than
-  carrying a 2× residual.
+  in the (H·W, D) slab and the two y-corners are exactly W rows apart, so
+  each sample point needs ONE int32 base index (SMEM) and two (2, D)
+  dynamic-slice reads.
 - The weighted 4-corner combine over all L·P points of a query is one tiny
   MXU matvec: (1, 4·L·P) @ (4·L·P, D).
-- Backward: dV accumulates with sequential read-modify-write into a VMEM
-  slab in the SAME interleaved space — one (4, D) gather + one (4, D)
-  accumulate per sample point (programs own disjoint (b, h) slabs; the
-  query loop is sequential — no write race); XLA folds the interleaved
-  gradient back with a shift+add (`_deinterleave_grad`). The per-slot sums
-  s_c = <g, V_c> fall out of the same pass as one matmul, and
-  d(locations)/d(attention) are then recovered *elementwise* outside the
-  kernel — no second gather pass.
+- Backward: dV accumulates with sequential read-modify-write into the
+  VMEM slab (programs own disjoint (b, h) slabs; the query loop is
+  sequential — no write race). The per-slot sums s_c = <g, V_c> fall out
+  of the same pass as one matmul, and d(locations)/d(attention) are then
+  recovered *elementwise* outside the kernel — no second gather pass.
 
 Out-of-bounds semantics match grid_sample(align_corners=False, zeros):
 read rows are clamped into the slab and per-READ-SLOT weights are assigned
 by coordinate matching, so a clamped slot that no in-bounds corner maps to
 gets weight 0 rather than a wrong value.
+
+NEGATIVE RESULT (round 5, measured on v5e — do not retry): a row-interleaved
+slab layout (XLA pre-builds V_i[2r]=V[r], V_i[2r+1]=V[r+W] so all four
+corners become ONE (4, D) slice; bwd accumulates in the same interleaved
+space) LOST on every shape despite halving the dynamic-slice count: fwd
+9.07 ms vs 7.2, fwd+bwd 22.69 ms vs 12.5 at B4/Q500 (artifact:
+outputs/analysis/perf/perf_r5_deform_interleaved.jsonl). The 2× slab
+build/VMEM traffic outweighs the issue-count saving; this layout (two
+(2, D) slices per point) is the measured-fastest. Baselines: 7.2 ms fwd /
+12.5 ms fwd+bwd per layer at B4/Q500 (round 2, reconfirmed round 5).
 """
 
 from __future__ import annotations
@@ -93,14 +94,12 @@ def _slot_weights(level_shapes, loc):
 # kernels
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
-    # v_ref is the row-interleaved slab (1, 2·total, D): rows 2b..2b+3 are
-    # the sample's four bilinear corners (y0x0, y1x0, y0x1, y1x1) — one
-    # dynamic slice per (level, point) instead of two.
+def _fwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
     def body(qi, carry):
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            scratch[4 * j : 4 * j + 4, :] = v_ref[0, pl.ds(b, 4), :]
+            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), :]
+            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), :]
         wrow = w_ref[0, qi, :].reshape(1, 4 * lp)
         out_ref[0, qi, :] = lax.dot_general(
             wrow, scratch[:], (((1,), (0,)), ((), ())),
@@ -112,20 +111,15 @@ def _fwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, out_ref, scratch):
     lax.fori_loop(0, q, body, 0)
 
 
-def _bwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, g_ref,
+def _bwd_kernel(level_ws, lp, d, q, idx_ref, w_ref, v_ref, g_ref,
                 dv_ref, s_ref, scratch):
-    # Interleaved layout on BOTH sides (round 4): v_ref is the (1, 2·total,
-    # D) interleaved slab, idx is pre-doubled, and dv_ref accumulates in the
-    # SAME interleaved space — one (4, D) gather + one (4, D) read-modify-
-    # write per sample point instead of 2+2 (2, D) ops. XLA de-interleaves
-    # dv afterwards (`_deinterleave_grad`). s comes out in interleaved
-    # corner order (y0x0, y1x0, y0x1, y1x1); the caller swaps it back.
     dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
     def body(qi, carry):
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            scratch[4 * j : 4 * j + 4, :] = v_ref[0, pl.ds(b, 4), :]
+            scratch[4 * j : 4 * j + 2, :] = v_ref[0, pl.ds(b, 2), :]
+            scratch[4 * j + 2 : 4 * j + 4, :] = v_ref[0, pl.ds(b + level_ws[j], 2), :]
         grow = g_ref[0, qi, :].reshape(1, d)
         s_ref[0, qi, :] = lax.dot_general(
             grow, scratch[:], (((1,), (1,)), ((), ())),
@@ -140,8 +134,12 @@ def _bwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, g_ref,
         )
         for j in range(lp):
             b = idx_ref[0, qi, j]
-            dv_ref[0, pl.ds(b, 4), :] = (
-                dv_ref[0, pl.ds(b, 4), :] + contrib[4 * j : 4 * j + 4, :]
+            dv_ref[0, pl.ds(b, 2), :] = (
+                dv_ref[0, pl.ds(b, 2), :] + contrib[4 * j : 4 * j + 2, :]
+            )
+            bw = b + level_ws[j]
+            dv_ref[0, pl.ds(bw, 2), :] = (
+                dv_ref[0, pl.ds(bw, 2), :] + contrib[4 * j + 2 : 4 * j + 4, :]
             )
         return carry
 
@@ -150,6 +148,11 @@ def _bwd_kernel(lp, d, q, idx_ref, w_ref, v_ref, g_ref,
 
 def _interpret_default() -> bool:
     return jax.devices()[0].platform != "tpu"
+
+
+def _level_ws(level_shapes, num_points) -> "Tuple[int, ...]":
+    """Static row stride between the two y-slots, per unrolled j = l·P + p."""
+    return tuple(int(w) for (_, w) in level_shapes for _ in range(num_points))
 
 
 # --------------------------------------------------------------------------
@@ -171,68 +174,6 @@ def _prep(values, level_shapes, loc, attn):
         .reshape(b * nh, values.shape[1], values.shape[3])
     )
     return values_t, idx, w4
-
-
-def _interleave_slab(values_t, level_shapes):
-    """(B·NH, total, D) → (B·NH, 2·total, D) with rows [V[r], V[r+W_l(r)]]
-    interleaved, per level (the last W rows' shifted halves are zeros —
-    provably never read: clipped bases satisfy base+1+W < level_end)."""
-    bnh, total, d = values_t.shape
-    off = 0
-    shifted = []
-    for h_l, w_l in level_shapes:
-        n = h_l * w_l
-        seg = lax.slice_in_dim(values_t, off, off + n, axis=1)
-        shifted.append(
-            jnp.concatenate(
-                [
-                    lax.slice_in_dim(seg, w_l, n, axis=1),
-                    jnp.zeros((bnh, w_l, d), values_t.dtype),
-                ],
-                axis=1,
-            )
-        )
-        off += n
-    sh = jnp.concatenate(shifted, axis=1)
-    return jnp.stack([values_t, sh], axis=2).reshape(bnh, 2 * total, d)
-
-
-def _w4_corner_reorder(w4, lp):
-    """Per-point corner weights (y0x0, y0x1, y1x0, y1x1) → the interleaved
-    slab's slice order (y0x0, y1x0, y0x1, y1x1): swap the middle pair.
-    Self-inverse — also used to map the bwd kernel's per-slot sums back."""
-    bnh, q, _ = w4.shape
-    return (
-        w4.reshape(bnh, q, lp, 2, 2).transpose(0, 1, 2, 4, 3)
-        .reshape(bnh, q, 4 * lp)
-    )
-
-
-def _deinterleave_grad(dv_i, level_shapes):
-    """Fold the interleaved-space dV (B·NH, 2·total, D) back to (B·NH,
-    total, D): row 2r accumulated dV[r], row 2r+1 accumulated dV[r + W_l].
-    Per level, the shifted half is moved forward W rows and added; its last
-    W rows correspond to dV rows beyond the level (never written — bases
-    satisfy base+1+W < level_end) and are dropped."""
-    bnh, total2, d = dv_i.shape
-    dv_pairs = dv_i.reshape(bnh, total2 // 2, 2, d)
-    main = dv_pairs[:, :, 0, :]
-    sh = dv_pairs[:, :, 1, :]
-    segs = []
-    off = 0
-    for h_l, w_l in level_shapes:
-        n = h_l * w_l
-        seg_sh = lax.slice_in_dim(sh, off, off + n, axis=1)
-        shifted = jnp.concatenate(
-            [
-                jnp.zeros((bnh, w_l, d), dv_i.dtype),
-                lax.slice_in_dim(seg_sh, 0, n - w_l, axis=1),
-            ],
-            axis=1,
-        )
-        segs.append(lax.slice_in_dim(main, off, off + n, axis=1) + shifted)
-        off += n
-    return jnp.concatenate(segs, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
@@ -263,26 +204,24 @@ def _fwd_rule(values, level_shapes, loc, attn, interpret):
             )
     lp = l * p
     values_t, idx, w4 = _prep(values, level_shapes, loc, attn)
-    values_i = _interleave_slab(values_t, level_shapes)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, lp, d, q),
+        functools.partial(_fwd_kernel, _level_ws(level_shapes, p), lp, d, q),
         grid=(b * nh,),
         in_specs=[
             pl.BlockSpec((1, q, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 2 * total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, q, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * nh, q, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4 * lp, d), jnp.float32)],
-        # the (2·total, D=32) slab lane-pads to 128 → 4× VMEM; v5e has
-        # 128 MiB physical VMEM, the default 16 MiB scoped limit is just
-        # conservative
+        # the (total, D=32) slab lane-pads to 128 → 4× VMEM; v5e has 128 MiB
+        # physical VMEM, the default 16 MiB scoped limit is just conservative
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(2 * idx, _w4_corner_reorder(w4, lp), values_i)
+    )(idx, w4, values_t)
 
     res = (values_t, idx, w4, loc, attn, jnp.zeros((), values.dtype))
     out = out.reshape(b, nh, q, d).transpose(0, 2, 1, 3).reshape(b, q, nh * d)
@@ -302,37 +241,29 @@ def _bwd_rule(level_shapes, interpret, res, g):
         .reshape(bnh, q, d).astype(jnp.float32)
     )
 
-    # Rebuild the interleaved slab here rather than saving it in residuals:
-    # one XLA stack+reshape per layer is cheaper than doubling the residual
-    # footprint held across the whole backward pass.
-    values_i = _interleave_slab(values_t, level_shapes)
-
-    dv_i, s = pl.pallas_call(
-        functools.partial(_bwd_kernel, lp, d, q),
+    dv_t, s = pl.pallas_call(
+        functools.partial(_bwd_kernel, _level_ws(level_shapes, p), lp, d, q),
         grid=(bnh,),
         in_specs=[
             pl.BlockSpec((1, q, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 2 * total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, q, d), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2 * total, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, total, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, q, 4 * lp), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bnh, 2 * total, d), jnp.float32),
+            jax.ShapeDtypeStruct((bnh, total, d), jnp.float32),
             jax.ShapeDtypeStruct((bnh, q, 4 * lp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((4 * lp, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(2 * idx, _w4_corner_reorder(w4, lp), values_i, g_t)
+    )(idx, w4, values_t, g_t)
 
-    dv_t = _deinterleave_grad(dv_i, level_shapes)
-    # s is in the interleaved corner order; the reorder is self-inverse.
-    s = _w4_corner_reorder(s, lp)
     dv = (
         dv_t.reshape(b, nh, total, d).transpose(0, 2, 1, 3).astype(vtoken.dtype)
     )

@@ -94,48 +94,3 @@ def test_bf16_values_roundtrip():
     )
 
 
-def test_interleave_slab_row_mapping():
-    """V_i[2r] == V[r]; V_i[2r+1] == V[r + W_level] within each level, zeros
-    in the final W rows' shifted halves (provably never read — the kernel's
-    (4, D) slice at 2·base stays inside the filled region)."""
-    from multimodal_moe_tpu.ops.deformable_pallas import _interleave_slab
-
-    rng = np.random.default_rng(0)
-    v = jnp.asarray(rng.normal(0, 1, (3, TOTAL, 5)).astype(np.float32))
-    vi = np.asarray(_interleave_slab(v, SHAPES))
-    assert vi.shape == (3, 2 * TOTAL, 5)
-    v = np.asarray(v)
-    np.testing.assert_array_equal(vi[:, 0::2], v)
-    off = 0
-    for h, w in SHAPES:
-        n = h * w
-        odd = vi[:, 1::2][:, off : off + n]
-        np.testing.assert_array_equal(odd[:, : n - w], v[:, off + w : off + n])
-        np.testing.assert_array_equal(odd[:, n - w :], 0.0)
-        off += n
-
-
-def test_deinterleave_grad_is_interleave_adjoint():
-    """The bwd kernel accumulates dV in interleaved space; `_deinterleave_grad`
-    must be the exact adjoint of `_interleave_slab` restricted to the rows the
-    kernel can write (all (4,D) windows at even rows stay inside the filled
-    region, so the dropped tail rows carry no gradient):
-    <G_i, interleave(V)> == <deinterleave(G_i), V> for random G_i, V."""
-    from multimodal_moe_tpu.ops.deformable_pallas import (
-        _deinterleave_grad,
-        _interleave_slab,
-    )
-
-    rng = np.random.default_rng(1)
-    v = jnp.asarray(rng.normal(0, 1, (2, TOTAL, 5)).astype(np.float32))
-    gi_np = rng.normal(0, 1, (2, 2 * TOTAL, 5)).astype(np.float32)
-    # zero the shifted-half tail rows the kernel provably never writes
-    off = 0
-    for h, w in SHAPES:
-        n = h * w
-        gi_np[:, 1::2][:, off + n - w : off + n] = 0.0
-        off += n
-    gi = jnp.asarray(gi_np)
-    lhs = float(jnp.vdot(gi, _interleave_slab(v, SHAPES)))
-    rhs = float(jnp.vdot(_deinterleave_grad(gi, SHAPES), v))
-    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
