@@ -298,11 +298,22 @@ def make_anchors(
 
 def dfl_expectation(box_logits: jnp.ndarray) -> jnp.ndarray:
     """(..., 4*REG_MAX) DFL logits → (..., 4) expected ltrb distances (in
-    stride units) via softmax expectation — one small matmul on the MXU."""
+    stride units) via softmax expectation.
+
+    Written as explicit exp + two weighted-sum reductions rather than
+    ``softmax(x) @ bins``: the (…, 16) @ (16,) matvec is a dot op XLA
+    cannot fuse its producer into, so the softmax probabilities
+    materialize in HBM — at the B128 serving batch that buffer is
+    f32[128, 18018, 4, 16] = 590 MB and showed up as ~5 ms of
+    ``pad_maximum``+kin fusions in the round-4 int8 trace
+    (docs/performance.md). The reduction form fuses exp/mul/sum into one
+    loop fusion over the bf16 head output; same math (sum(e·b)/sum(e) ==
+    sum((e/sum(e))·b)) up to fp rounding order."""
     shape = box_logits.shape[:-1] + (4, REG_MAX)
-    probs = nn.softmax(box_logits.reshape(shape).astype(jnp.float32), axis=-1)
+    x = box_logits.reshape(shape).astype(jnp.float32)
+    e = jnp.exp(x - jnp.max(x, axis=-1, keepdims=True))
     bins = jnp.arange(REG_MAX, dtype=jnp.float32)
-    return probs @ bins
+    return jnp.sum(e * bins, axis=-1) / jnp.sum(e, axis=-1)
 
 
 def decode_boxes(
