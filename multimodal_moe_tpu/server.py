@@ -315,6 +315,38 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body = self.rfile.read(length)
             kw: Dict[str, Any] = {}
+            # Pre-decoded fast path: Content-Type application/x-mmoe-raw
+            # carries H*W*3 uint8 RGB at model resolution — zero decode
+            # cost per request. Bounds the serving front-end's per-request
+            # host work on 1-core deployments where JPEG decode (~5 ms/img)
+            # is the measured ceiling (docs/performance.md serving-load
+            # notes); also the natural path for upstream pipelines that
+            # already hold decoded frames.
+            ctype = (self.headers.get("Content-Type") or "").lower()
+            if ctype == "application/x-mmoe-raw":
+                want = det.img_h * det.img_w * 3
+                if length != want:
+                    self._json(400, {
+                        "error": f"raw body must be exactly {want} bytes "
+                                 f"({det.img_h}x{det.img_w}x3 uint8 RGB), "
+                                 f"got {length}",
+                    })
+                    return
+                arr = np.frombuffer(body, np.uint8).reshape(
+                    det.img_h, det.img_w, 3
+                )
+                dims = (det.img_w, det.img_h)
+                qs = parse_qs(parsed.query)
+                if "context" in qs:
+                    kw["context_id"] = int(qs["context"][0])
+                if "conf" in qs:
+                    kw["conf"] = float(qs["conf"][0])
+                dets = det.predict(arr, **kw)
+                self._json(
+                    200,
+                    {"width": dims[0], "height": dims[1], "detections": dets},
+                )
+                return
             # Fast path: native libjpeg decode straight to model resolution
             # (decode-time resize, no full-res materialization, no PIL);
             # source dims come from the ~µs SOF header probe. Bit-parity of

@@ -49,6 +49,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--concurrency", type=str, default="1,4,8,16,32")
     p.add_argument("--duration", type=float, default=10.0,
                    help="Timed window per concurrency level (s).")
+    p.add_argument("--raw", action="store_true",
+                   help="send pre-decoded raw RGB planes (application/"
+                        "x-mmoe-raw) instead of JPEG bytes: zero per-request "
+                        "decode on the server, isolating HTTP+batching+device "
+                        "cost on 1-core front-ends")
     p.add_argument("--image", type=str, default=None,
                    help="JPEG to send (default: a generated 1248x704 scene).")
     p.add_argument("--out-dir", type=str,
@@ -81,9 +86,11 @@ def _make_jpeg(h: int, w: int) -> bytes:
 class _Client(threading.Thread):
     """One keep-alive HTTP client hammering POST /predict until stopped."""
 
-    def __init__(self, port: int, body: bytes, conf: float, stop: threading.Event):
+    def __init__(self, port: int, body: bytes, conf: float, stop: threading.Event,
+                 content_type: str = "image/jpeg"):
         super().__init__(daemon=True)
         self.port, self.body, self.conf, self.stop = port, body, conf, stop
+        self.content_type = content_type
         self.latencies: "list[float]" = []
         self.errors = 0
 
@@ -94,7 +101,7 @@ class _Client(threading.Thread):
             t0 = time.perf_counter()
             try:
                 conn.request("POST", path, body=self.body,
-                             headers={"Content-Type": "image/jpeg"})
+                             headers={"Content-Type": self.content_type})
                 resp = conn.getresponse()
                 data = resp.read()
                 if resp.status != 200:
@@ -149,12 +156,26 @@ def main() -> None:
         Path(args.image).read_bytes() if args.image
         else _make_jpeg(args.img_h, args.img_w)
     )
+    content_type = "image/jpeg"
+    if args.raw:
+        from PIL import Image
+        import io as _io
+
+        with Image.open(_io.BytesIO(body)) as im:
+            arr = np.asarray(
+                im.convert("RGB").resize((args.img_w, args.img_h)), np.uint8
+            )
+        body = arr.tobytes()
+        content_type = "application/x-mmoe-raw"
     levels = [int(c) for c in args.concurrency.split(",")]
     rows = []
     for c in levels:
         # Short warmup at this concurrency, then the timed window.
         stop = threading.Event()
-        clients = [_Client(port, body, args.conf, stop) for _ in range(c)]
+        clients = [
+            _Client(port, body, args.conf, stop, content_type)
+            for _ in range(c)
+        ]
         for cl in clients:
             cl.start()
         time.sleep(min(3.0, args.duration / 3))

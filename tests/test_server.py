@@ -150,6 +150,49 @@ def test_http_roundtrip_and_healthz(detector):
         httpd.server_close()
 
 
+def test_http_raw_plane_path_matches_jpeg_free_decode(detector):
+    """application/x-mmoe-raw carries pre-decoded H*W*3 uint8 RGB at model
+    resolution: the server must skip decode entirely and return the same
+    detections submit() gives for the identical array; a wrong-sized body
+    must 400 without poisoning the connection."""
+    from multimodal_moe_tpu.server import DetectorHTTPServer
+
+    httpd = DetectorHTTPServer(("127.0.0.1", 0), detector)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = _img(7)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict?conf=0.0",
+            data=img.tobytes(),
+            headers={"Content-Type": "application/x-mmoe-raw"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        assert resp.status == 200
+        assert payload["width"] == W and payload["height"] == H
+        direct = detector.predict(img, conf=0.0)
+        assert len(payload["detections"]) == len(direct)
+        for got, want in zip(payload["detections"], direct):
+            np.testing.assert_allclose(got["xyxy"], want["xyxy"], atol=1e-3)
+            assert abs(got["score"] - want["score"]) < 1e-5
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=img.tobytes()[:-7],
+            headers={"Content-Type": "application/x-mmoe-raw"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_detr_family_takes_nms_free_tail():
     """make_serving_step resolves the tail from model outputs: a DETR-style
     head (no anchor_points) must route to detr_topk_select."""
