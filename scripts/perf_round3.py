@@ -723,6 +723,85 @@ def section_trace(jax, jnp):
     out("trace", trace_dir=trace_dir)
 
 
+def section_mxu2(jax, jnp):
+    """Dispatch-amortized MXU rate probe (round 5).
+
+    The round-4 single-matmul probe (section_epi tail) reported 91.5 TF/s
+    bf16 / 117.8 TOPS s8 at 8k³ — but the full YOLO-s serving graph itself
+    sustains ~104 TF/s bf16 through its convs, which is impossible if 91.5
+    were the ceiling, so that probe must be eating per-call overhead
+    (queue/dispatch on the tunneled runtime). Here the matmul repeats
+    inside ONE executable via lax.fori_loop (carry = the product, so every
+    iteration is a fresh 8k³ matmul), leaving only the loop-carried output
+    write between MXU bursts."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    m = 8192
+    iters = 16
+    a = jnp.asarray(rng.normal(0, 1, (m, m)).astype(np.float32)).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.normal(0, 1, (m, m)).astype(np.float32)).astype(jnp.bfloat16)
+    gflop = 2 * m * m * m / 1e9
+
+    @jax.jit
+    def chain_bf16(a, b):
+        def body(_, y):
+            # normalize the carry so the chain can't overflow to inf and
+            # the compiler can't fold iterations together
+            return (y @ b) * jnp.bfloat16(1.0 / m)
+
+        return jax.lax.fori_loop(0, iters, body, a).astype(jnp.float32).sum()
+
+    s = timed_scalar(chain_bf16, a, b, reps=2) / iters
+    out("mxu2", mode="bf16_8k_chain", iters=iters, ms=round(s * 1e3, 3),
+        tflops=round(gflop / s / 1e3, 1))
+
+    a8 = jnp.asarray(rng.integers(-127, 127, (m, m)).astype(np.int8))
+    b8 = jnp.asarray(rng.integers(-127, 127, (m, m)).astype(np.int8))
+
+    @jax.jit
+    def chain_s8(a, b):
+        def body(_, y):
+            y32 = jax.lax.dot_general(
+                y, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # requant epilogue (shift+clamp+convert) — the realistic s8
+            # inter-layer cost
+            return jnp.clip(y32 >> 7, -127, 127).astype(jnp.int8)
+
+        return jax.lax.fori_loop(0, iters, body, a).astype(jnp.int32).sum()
+
+    s = timed_scalar(chain_s8, a8, b8, reps=2) / iters
+    out("mxu2", mode="s8_8k_chain", iters=iters, ms=round(s * 1e3, 3),
+        tops=round(gflop / s / 1e3, 1))
+
+    # Conv variant at detector-like shape: NHWC (8, 88, 156, 256)->256 3x3,
+    # chained the same way.
+    x = jnp.asarray(
+        rng.normal(0, 0.5, (8, 88, 156, 256)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w = jnp.asarray(
+        rng.normal(0, 0.05, (3, 3, 256, 256)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    conv_gflop = 2 * 8 * 88 * 156 * 256 * 256 * 9 / 1e9
+
+    @jax.jit
+    def chain_conv(x, w):
+        def body(_, y):
+            y = jax.lax.conv_general_dilated(
+                y, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jnp.tanh(y)  # bounded epilogue keeps the chain finite
+
+        return jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32).sum()
+
+    s = timed_scalar(chain_conv, x, w, reps=2) / iters
+    out("mxu2", mode="bf16_conv_chain", iters=iters, ms=round(s * 1e3, 3),
+        tflops=round(conv_gflop / s / 1e3, 1))
+
+
 def main():
     import jax
 
