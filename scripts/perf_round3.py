@@ -723,6 +723,53 @@ def section_trace(jax, jnp):
     out("trace", trace_dir=trace_dir)
 
 
+def section_fpbox(jax, jnp):
+    """Serving-rate cost of --int8-fp-box (round 5, VERDICT r4 #4): the
+    B128 int8 serving graph with the DFL box-regression branch kept fp
+    (YoloDetector.int8_fp_box) vs the full-int8 graph, both on the default
+    bf16 epilogue. The accuracy side of the A/B lives in
+    outputs/eval/yolo/yolo_s_hard_e50_704_int8fpbox*/."""
+    from multimodal_moe_tpu import quant as qz
+    from multimodal_moe_tpu.models.yolo import YoloDetector
+    from multimodal_moe_tpu.ops.nms import batched_nms
+
+    model = YoloDetector(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1, H, W, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.random((2, H, W, 3), np.float32))]
+    img = jnp.zeros((128, H, W, 3), jnp.uint8)
+
+    # Calibrate/quantize ONCE against the full int8 model (the same
+    # superset npz the eval CLI caches); fp_box only changes apply-time.
+    model_full = YoloDetector(num_classes=1, variant="s", int8=True)
+    qvars = qz.quantize_detector(model, model_full, variables, calib)
+
+    for fp_box in (False, True):
+        if fp_box:
+            model_i8 = YoloDetector(
+                num_classes=1, variant="s", int8=True, int8_fp_box=True
+            )
+            # fp box branch keeps reading 'params' beside the quant tree
+            # (same assembly as eval_detector --int8-fp-box).
+            vars_i8 = qz.merge_serving_variables(qvars, variables)
+        else:
+            model_i8, vars_i8 = model_full, qvars
+
+        def fn(v, im):
+            o = model_i8.apply(v, im.astype(jnp.float32) / 255.0, train=False)
+            return batched_nms(
+                o["boxes"], jax.nn.sigmoid(o["cls_logits"][..., 0]),
+                iou_threshold=0.7, score_threshold=0.001, max_det=300,
+                num_candidates=512,
+            ).valid.sum()
+
+        s = timed_scalar(jax.jit(fn), vars_i8, img, reps=4)
+        out("fpbox", fp_box=fp_box, ms=round(s * 1e3, 1),
+            img_s=round(128 / s, 1))
+
+
 def section_mxu2(jax, jnp):
     """Dispatch-amortized MXU rate probe (round 5).
 
